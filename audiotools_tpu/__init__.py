@@ -1,0 +1,15 @@
+"""audiotools_tpu: a TPU-native audio processing framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+descriptinc/audiotools (object-oriented audio DSP, perceptual loudness,
+GPU-style augmentation pipelines, datasets, losses and training
+utilities), designed for TPU: batched device arrays, fused compiled
+kernels, SPMD data parallelism over device meshes, and host-side async
+I/O. See SURVEY.md at the repo root for the architecture map.
+"""
+__version__ = "0.1.0"
+
+from .core import AudioSignal, STFTParams, Meter, util
+from .core.loudness import Meter  # noqa: F811 — re-export parity
+from . import ops
+from . import io

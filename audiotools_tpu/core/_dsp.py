@@ -1,0 +1,201 @@
+"""DSP mixin: windowing, filtering, SpecAug masks, phase ops, preemphasis.
+
+Mirror of `/root/reference/audiotools/core/dsp.py`, with every op batched
+on-device (the reference loops per item for the filters, dsp.py:177-179;
+here per-item cutoffs are handled by a vmapped kernel bank).
+"""
+import typing
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import util
+from ..ops import filters as _filters
+
+
+class DSPMixin:
+    _original_batch_size = None
+    _original_num_channels = None
+    _padded_signal_length = None
+
+    def _preprocess_signal_for_windowing(self, window_duration, hop_duration):
+        self._original_batch_size = self.batch_size
+        self._original_num_channels = self.num_channels
+
+        window_length = int(window_duration * self.sample_rate)
+        hop_length = int(hop_duration * self.sample_rate)
+
+        if window_length % hop_length != 0:
+            factor = window_length // hop_length
+            window_length = factor * hop_length
+
+        self.zero_pad(hop_length, hop_length)
+        self._padded_signal_length = self.signal_length
+
+        return window_length, hop_length
+
+    def windows(
+        self, window_duration: float, hop_duration: float, preprocess: bool = True
+    ):
+        """Generator yielding AudioSignal windows (reference dsp.py:31-68)."""
+        if preprocess:
+            window_length, hop_length = self._preprocess_signal_for_windowing(
+                window_duration, hop_duration
+            )
+
+        self.audio_data = self.audio_data.reshape(-1, 1, self.signal_length)
+
+        for b in range(self.batch_size):
+            i = 0
+            start_idx = i * hop_length
+            while True:
+                start_idx = i * hop_length
+                i += 1
+                end_idx = start_idx + window_length
+                if end_idx > self.signal_length:
+                    break
+                yield self[b, ..., start_idx:end_idx]
+
+    def collect_windows(
+        self, window_duration: float, hop_duration: float, preprocess: bool = True
+    ):
+        """Reshape into overlapping windows along the batch dim
+        (reference dsp.py:70-108)."""
+        if preprocess:
+            window_length, hop_length = self._preprocess_signal_for_windowing(
+                window_duration, hop_duration
+            )
+
+        x = self.audio_data.reshape(-1, self.signal_length)
+        n = 1 + (self.signal_length - window_length) // hop_length
+        idx = (
+            np.arange(n, dtype=np.int32)[:, None] * hop_length
+            + np.arange(window_length, dtype=np.int32)[None, :]
+        )
+        unfolded = x[:, idx]  # (nb*nch, n, window_length)
+        self.audio_data = unfolded.reshape(-1, 1, window_length)
+        return self
+
+    def overlap_and_add(self, hop_duration: float):
+        """Overlap-add windows back into a signal (reference dsp.py:110-151)."""
+        hop_length = int(hop_duration * self.sample_rate)
+        window_length = self.signal_length
+
+        nb, nch = self._original_batch_size, self._original_num_channels
+
+        unfolded = self.audio_data.reshape(nb * nch, -1, window_length)
+        n = unfolded.shape[1]
+        idx = (
+            np.arange(n, dtype=np.int32)[:, None] * hop_length
+            + np.arange(window_length, dtype=np.int32)[None, :]
+        ).reshape(-1)
+        out_len = self._padded_signal_length
+        folded = jnp.zeros((nb * nch, out_len), dtype=unfolded.dtype)
+        folded = folded.at[:, idx].add(unfolded.reshape(nb * nch, -1))
+        norm = jnp.zeros((out_len,), dtype=unfolded.dtype).at[idx].add(
+            jnp.ones((n * window_length,), dtype=unfolded.dtype)
+        )
+        folded = folded / norm
+
+        self.audio_data = folded.reshape(nb, nch, -1)
+        self.trim(hop_length, hop_length)
+        return self
+
+    def low_pass(self, cutoffs, zeros: int = 51):
+        """Batched low-pass with per-item cutoffs in Hz
+        (reference dsp.py:153-183)."""
+        cutoffs = util.ensure_tensor(cutoffs, 2, self.batch_size)
+        self.audio_data = _filters.low_pass(
+            self.audio_data, cutoffs.reshape(-1), self.sample_rate, zeros
+        )
+        self.stft_data = None
+        return self
+
+    def high_pass(self, cutoffs, zeros: int = 51):
+        """Batched high-pass with per-item cutoffs in Hz
+        (reference dsp.py:185-215)."""
+        cutoffs = util.ensure_tensor(cutoffs, 2, self.batch_size)
+        self.audio_data = _filters.high_pass(
+            self.audio_data, cutoffs.reshape(-1), self.sample_rate, zeros
+        )
+        self.stft_data = None
+        return self
+
+    def mask_frequencies(self, fmin_hz, fmax_hz, val: float = 0.0):
+        """SpecAug frequency masking (reference dsp.py:217-260)."""
+        mag, phase = self.magnitude, self.phase
+        fmin_hz = util.ensure_tensor(fmin_hz, ndim=mag.ndim)
+        fmax_hz = util.ensure_tensor(fmax_hz, ndim=mag.ndim)
+
+        nbins = mag.shape[-2]
+        bins_hz = jnp.linspace(0, self.sample_rate / 2, nbins)
+        bins_hz = jnp.broadcast_to(
+            bins_hz[None, None, :, None],
+            (self.batch_size, 1, nbins, mag.shape[-1]),
+        )
+        mask = (fmin_hz <= bins_hz) & (bins_hz < fmax_hz)
+
+        mag = jnp.where(mask, val, mag)
+        phase = jnp.where(mask, val, phase)
+        self.stft_data = mag * jnp.exp(1j * phase)
+        return self
+
+    def mask_timesteps(self, tmin_s, tmax_s, val: float = 0.0):
+        """SpecAug time masking (reference dsp.py:262-305)."""
+        mag, phase = self.magnitude, self.phase
+        tmin_s = util.ensure_tensor(tmin_s, ndim=mag.ndim)
+        tmax_s = util.ensure_tensor(tmax_s, ndim=mag.ndim)
+
+        nt = mag.shape[-1]
+        bins_t = jnp.linspace(0, self.signal_duration, nt)
+        bins_t = jnp.broadcast_to(
+            bins_t[None, None, None, :],
+            (self.batch_size, 1, mag.shape[-2], nt),
+        )
+        mask = (tmin_s <= bins_t) & (bins_t < tmax_s)
+
+        mag = jnp.where(mask, val, mag)
+        phase = jnp.where(mask, val, phase)
+        self.stft_data = mag * jnp.exp(1j * phase)
+        return self
+
+    def mask_low_magnitudes(self, db_cutoff, val: float = 0.0):
+        """Mask away low-magnitude cells (reference dsp.py:307-334)."""
+        mag = self.magnitude
+        log_mag = self.log_magnitude()
+
+        db_cutoff = util.ensure_tensor(db_cutoff, ndim=mag.ndim)
+        mask = log_mag < db_cutoff
+        mag = jnp.where(mask, val, mag)
+
+        self.magnitude = mag
+        return self
+
+    def shift_phase(self, shift):
+        """Constant phase shift (reference dsp.py:336-352)."""
+        shift = util.ensure_tensor(shift, ndim=self.phase.ndim)
+        self.phase = self.phase + shift
+        return self
+
+    def corrupt_phase(self, scale, key=None):
+        """Add Gaussian noise to the phase (reference dsp.py:354-370).
+
+        Randomness is explicit in JAX: pass a ``jax.random`` key, or omit it
+        to draw from numpy's global RNG on host.
+        """
+        import jax
+
+        scale = util.ensure_tensor(scale, ndim=self.phase.ndim)
+        if key is None:
+            noise = jnp.asarray(
+                np.random.randn(*self.phase.shape).astype(np.float32)
+            )
+        else:
+            noise = jax.random.normal(key, self.phase.shape)
+        self.phase = self.phase + scale * noise
+        return self
+
+    def preemphasis(self, coef: float = 0.85):
+        """Pre-emphasis filter (reference dsp.py:372-390)."""
+        self.audio_data = _filters.preemphasis(self.audio_data, coef)
+        return self

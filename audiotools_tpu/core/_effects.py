@@ -1,0 +1,353 @@
+"""Effects mixin: mixing, convolution/reverb, loudness ops, EQ,
+quantization, codecs, and the Bryan (ICASSP 2020) impulse-response
+augmentations.
+
+Mirror of `/root/reference/audiotools/core/effects.py`, fully batched and
+jittable. The sox-based ``pitch_shift``/``time_stretch`` (effects.py:247-309,
+CPU-only and non-differentiable there) are replaced with an on-device,
+differentiable phase vocoder (``ops/stretch.py``).
+"""
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import util
+from ..ops import filters as _filters
+from ..ops.loudness import GAIN_FACTOR
+
+
+class EffectMixin:
+    GAIN_FACTOR = GAIN_FACTOR
+    """Gain factor for converting between amplitude and decibels."""
+    CODEC_PRESETS = {
+        "8-bit": {"format": "wav", "encoding": "ULAW", "bits_per_sample": 8},
+        "GSM-FR": {"format": "gsm"},
+        "MP3": {"format": "mp3", "compression": -9},
+        "Vorbis": {"format": "vorbis", "compression": -1},
+        "Ogg": {"format": "ogg", "compression": -1},
+        "Amr-nb": {"format": "amr-nb"},
+    }
+    """Codec presets (reference effects.py:14-25). Only presets with native
+    decoders in this environment are runnable; see ``apply_codec``."""
+
+    def mix(self, other, snr=10, other_eq=None):
+        """Mix ``other`` into self at the given SNR
+        (reference effects.py:27-64)."""
+        snr = util.ensure_tensor(snr)
+
+        pad_len = max(0, self.signal_length - other.signal_length)
+        other.zero_pad(0, pad_len)
+        other.truncate_samples(self.signal_length)
+        if other_eq is not None:
+            other = other.equalizer(other_eq)
+
+        tgt_loudness = self.loudness() - snr
+        other = other.normalize(tgt_loudness)
+
+        self.audio_data = self.audio_data + other.audio_data
+        return self
+
+    def convolve(self, other, start_at_max: bool = True):
+        """FFT convolution with delta-renormalization
+        (reference effects.py:66-123)."""
+        from .signal import AudioSignal
+
+        pad_len = self.signal_length - other.signal_length
+
+        if pad_len > 0:
+            other.zero_pad(0, pad_len)
+        else:
+            other.truncate_samples(self.signal_length)
+
+        if start_at_max:
+            # Roll every item over its max so IRs don't induce delay.
+            data = other.audio_data
+            T = data.shape[-1]
+            idx = jnp.argmax(jnp.abs(data), axis=-1)  # (B, C)
+            shift = idx.max(axis=1) if idx.ndim > 1 else idx  # (B,)
+            pos = (np.arange(T)[None, :] + shift[:, None]) % T  # (B, T)
+            irs = jnp.take_along_axis(data, pos[:, None, :].astype(jnp.int32), axis=-1)
+            other = AudioSignal(irs, other.sample_rate)
+
+        delta = jnp.zeros_like(other.audio_data)
+        delta = delta.at[..., 0].set(1)
+
+        length = self.signal_length
+        delta_fft = jnp.fft.rfft(delta, n=length)
+        other_fft = jnp.fft.rfft(other.audio_data, n=length)
+        self_fft = jnp.fft.rfft(self.audio_data, n=length)
+
+        convolved_fft = other_fft * self_fft
+        convolved_audio = jnp.fft.irfft(convolved_fft, n=length)
+
+        delta_convolved_fft = other_fft * delta_fft
+        delta_audio = jnp.fft.irfft(delta_convolved_fft, n=length)
+
+        # Use the delta to rescale the audio exactly as needed.
+        delta_max = jnp.max(jnp.abs(delta_audio), axis=-1, keepdims=True)
+        scale = 1 / jnp.maximum(delta_max, 1e-5)
+        convolved_audio = convolved_audio * scale
+
+        self.audio_data = convolved_audio
+        return self
+
+    def apply_ir(self, ir, drr=None, ir_eq=None, use_original_phase: bool = False):
+        """Apply an impulse response, optionally altering DRR and EQ
+        (reference effects.py:125-179)."""
+        if ir_eq is not None:
+            ir = ir.equalizer(ir_eq)
+        if drr is not None:
+            ir = ir.alter_drr(drr)
+
+        # Save the peak before
+        max_spk = jnp.max(jnp.abs(self.audio_data), axis=-1, keepdims=True)
+
+        phase = self.phase
+        self.convolve(ir)
+
+        if use_original_phase:
+            self.stft()
+            self.stft_data = self.magnitude * jnp.exp(1j * phase)
+            self.istft()
+
+        max_transformed = jnp.max(jnp.abs(self.audio_data), axis=-1, keepdims=True)
+        scale_factor = jnp.maximum(max_spk, 1e-8) / jnp.maximum(
+            max_transformed, 1e-8
+        )
+        self.audio_data = self.audio_data * scale_factor
+        return self
+
+    def ensure_max_of_audio(self, max: float = 1.0):
+        """Peak-limit to ±max (reference effects.py:181-198)."""
+        peak = jnp.max(jnp.abs(self.audio_data), axis=-1, keepdims=True)
+        peak_gain = jnp.where(peak > max, max / jnp.maximum(peak, 1e-12), 1.0)
+        self.audio_data = self.audio_data * peak_gain
+        return self
+
+    def normalize(self, db=-24.0):
+        """Normalize loudness to the target LUFS
+        (reference effects.py:200-220)."""
+        db = util.ensure_tensor(db)
+        ref_db = self.loudness()
+        gain = db - ref_db
+        gain = jnp.exp(gain * self.GAIN_FACTOR)
+        self.audio_data = self.audio_data * gain[:, None, None]
+        return self
+
+    def volume_change(self, db):
+        """Change volume by db (reference effects.py:222-238)."""
+        db = util.ensure_tensor(db, ndim=1)
+        gain = jnp.exp(db * self.GAIN_FACTOR)
+        self.audio_data = self.audio_data * gain[:, None, None]
+        return self
+
+    def pitch_shift(self, n_semitones: float, quick: bool = True):
+        """Pitch shift via on-device phase vocoder + resample
+        (replaces the reference's sox path, effects.py:247-277; ours is
+        batched, TPU-resident, and differentiable)."""
+        from ..ops import stretch as _stretch
+
+        self.audio_data = _stretch.pitch_shift(
+            self.audio_data, n_semitones, self.sample_rate
+        )
+        self.stft_data = None
+        return self
+
+    def time_stretch(self, factor: float, quick: bool = True):
+        """Time stretch via on-device phase vocoder (replaces the
+        reference's sox path, effects.py:279-309)."""
+        from ..ops import stretch as _stretch
+
+        self.audio_data = _stretch.time_stretch(self.audio_data, factor)
+        self.stft_data = None
+        return self
+
+    def apply_codec(
+        self,
+        preset: str = None,
+        format: str = "wav",
+        encoding: str = None,
+        bits_per_sample: int = None,
+        compression: int = None,
+    ):
+        """Apply an audio codec (reference effects.py:311-384).
+
+        ``wav``/``ULAW``-style presets run natively on device (mu-law
+        round-trip at the requested bit depth); compressed formats require
+        codec libraries unavailable in this environment and raise.
+        """
+        kwargs = {
+            "format": format,
+            "encoding": encoding,
+            "bits_per_sample": bits_per_sample,
+            "compression": compression,
+        }
+        if preset is not None:
+            if preset in self.CODEC_PRESETS:
+                kwargs = dict(self.CODEC_PRESETS[preset])
+            else:
+                raise ValueError(
+                    f"Unknown preset: {preset}. "
+                    f"Known presets: {list(self.CODEC_PRESETS.keys())}"
+                )
+
+        fmt = kwargs.get("format", "wav")
+        if fmt == "wav":
+            if kwargs.get("encoding") == "ULAW":
+                bits = kwargs.get("bits_per_sample") or 8
+                return self.mulaw_quantization(2**bits)
+            bits = kwargs.get("bits_per_sample") or 16
+            return self.quantization(2**bits)
+        raise RuntimeError(
+            f"Codec format '{fmt}' requires external codec libraries that "
+            "are not available; native support: wav (PCM/ULAW)."
+        )
+
+    def mel_filterbank(self, n_bands: int):
+        """Split into mel bands, last axis indexes bands
+        (reference effects.py:386-403)."""
+        return _filters.split_bands(self.audio_data, self.sample_rate, n_bands)
+
+    def equalizer(self, db):
+        """Mel-spaced graphic EQ (reference effects.py:405-433)."""
+        db = util.ensure_tensor(db)
+        if db.ndim == 2 and db.shape[0] not in (1, self.batch_size):
+            raise ValueError("EQ batch dim must be 1 or match the signal")
+        self.audio_data = _filters.equalizer(
+            self.audio_data, db, self.sample_rate
+        )
+        return self
+
+    def clip_distortion(self, clip_percentile):
+        """Percentile clipping (reference effects.py:435-461)."""
+        clip_percentile = util.ensure_tensor(clip_percentile, ndim=1)
+        clip_percentile = jnp.broadcast_to(
+            clip_percentile.reshape(-1), (self.batch_size,)
+        )
+
+        def _clip(x, perc):  # x: (C, T)
+            lo = jnp.quantile(x, perc / 2, axis=-1, keepdims=True)
+            hi = jnp.quantile(x, 1 - perc / 2, axis=-1, keepdims=True)
+            return jnp.clip(x, lo, hi)
+
+        self.audio_data = jax.vmap(_clip)(self.audio_data, clip_percentile)
+        return self
+
+    def quantization(self, quantization_channels):
+        """Uniform quantization with straight-through gradients
+        (reference effects.py:463-490)."""
+        quantization_channels = util.ensure_tensor(quantization_channels, ndim=3)
+
+        x = self.audio_data
+        x = (x + 1) / 2
+        x = x * quantization_channels
+        x = jnp.floor(x)
+        x = x / quantization_channels
+        x = 2 * x - 1
+
+        residual = jax.lax.stop_gradient(self.audio_data - x)
+        self.audio_data = self.audio_data - residual
+        return self
+
+    def mulaw_quantization(self, quantization_channels):
+        """Mu-law quantization with straight-through gradients
+        (reference effects.py:492-523)."""
+        mu = quantization_channels - 1.0
+        mu = util.ensure_tensor(mu, ndim=3).astype(jnp.float32)
+
+        x = self.audio_data
+
+        # quantize
+        x = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / jnp.log1p(mu)
+        x = ((x + 1) / 2 * mu + 0.5).astype(jnp.int32).astype(jnp.float32)
+
+        # unquantize
+        x = (x / mu) * 2 - 1.0
+        x = jnp.sign(x) * (jnp.exp(jnp.abs(x) * jnp.log1p(mu)) - 1.0) / mu
+
+        residual = jax.lax.stop_gradient(self.audio_data - x)
+        self.audio_data = self.audio_data - residual
+        return self
+
+    def __matmul__(self, other):
+        return self.convolve(other)
+
+
+class ImpulseResponseMixin:
+    """Bryan (ICASSP 2020) IR augmentation: early/late decomposition and
+    DRR alteration (reference effects.py:529-647)."""
+
+    def decompose_ir(self):
+        """Early response / late field / window decomposition
+        (reference effects.py:540-574)."""
+        data = self.audio_data
+        td = jnp.argmax(data, axis=-1, keepdims=True)
+        t0 = int(self.sample_rate * 0.0025)
+
+        idx = jnp.arange(data.shape[-1])[None, None, :]
+        early_idx = (idx >= td - t0) & (idx <= td + t0)
+
+        early_response = jnp.where(early_idx, data, 0.0)
+        late_field = jnp.where(early_idx, 0.0, data)
+
+        # Windowed direct path: periodic hann over each item's early span
+        # (the reference places scipy's periodic hann over the nonzero span
+        # per item, effects.py:568-573).
+        span = jnp.sum(early_idx, axis=-1, keepdims=True)  # (B, C, 1)
+        start = jnp.maximum(td - t0, 0)
+        k = idx - start
+        hann = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * k / jnp.maximum(span, 1))
+        window = jnp.where(early_idx, hann, 0.0)
+        return early_response, late_field, window
+
+    def measure_drr(self):
+        """Direct-to-reverberant ratio (reference effects.py:576-589)."""
+        early_response, late_field, _ = self.decompose_ir()
+        num = jnp.sum(early_response**2, axis=-1)
+        den = jnp.sum(late_field**2, axis=-1)
+        drr = 10 * jnp.log10(num / den)
+        return drr
+
+    @staticmethod
+    def solve_alpha(early_response, late_field, wd, target_drr):
+        """Quadratic solve for the DRR scaling factor
+        (reference effects.py:591-615)."""
+        wd_sq = wd**2
+        wd_sq_1 = (1 - wd) ** 2
+        e_sq = early_response**2
+        l_sq = late_field**2
+        a = jnp.sum(wd_sq * e_sq, axis=-1)
+        b = jnp.sum(2 * (1 - wd) * wd * e_sq, axis=-1)
+        c = jnp.sum(wd_sq_1 * e_sq, axis=-1) - jnp.power(
+            10, target_drr / 10
+        ) * jnp.sum(l_sq, axis=-1)
+
+        expr = jnp.sqrt((b**2) - 4 * a * c)
+        alpha = jnp.maximum(
+            (-b - expr) / (2 * a),
+            (-b + expr) / (2 * a),
+        )
+        return alpha
+
+    def alter_drr(self, drr):
+        """Alter the DRR of the impulse response
+        (reference effects.py:617-647)."""
+        drr = util.ensure_tensor(drr, 2, self.batch_size)
+
+        early_response, late_field, window = self.decompose_ir()
+        alpha = self.solve_alpha(early_response, late_field, window, drr)
+        min_alpha = jnp.max(jnp.abs(late_field), axis=-1) / jnp.maximum(
+            jnp.max(jnp.abs(early_response), axis=-1), 1e-12
+        )
+        alpha = jnp.maximum(alpha, min_alpha)[..., None]
+
+        aug_ir_data = (
+            alpha * window * early_response
+            + ((1 - window) * early_response)
+            + late_field
+        )
+        self.audio_data = aug_ir_data
+        self.ensure_max_of_audio()
+        return self

@@ -1,0 +1,961 @@
+"""AudioSignal: the core batched audio container, as a JAX pytree.
+
+Mirror of `/root/reference/audiotools/core/audio_signal.py`, redesigned
+TPU-first:
+
+* ``audio_data`` is always a ``(batch, channels, time)`` jnp array
+  (reference audio_signal.py:913-921); ``stft_data`` (complex, (B,C,F,T))
+  and the cached ``_loudness`` are optional leaves.
+* The class is registered as a pytree, so AudioSignals flow through
+  ``jax.jit`` / ``vmap`` / ``grad`` directly; static attributes
+  (sample_rate, stft_params, lengths) are aux data, and host-side metadata
+  rides along in a hash-stable box that never triggers recompilation.
+* Methods keep the reference's fluent, in-place-returning API. Outside jit
+  this behaves exactly like the reference; inside jit each traced call
+  operates on a fresh unflattened wrapper, so purity is preserved.
+"""
+import copy
+import functools
+import hashlib
+import pathlib
+import tempfile
+import typing
+import warnings
+from collections import namedtuple
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import util
+from ._dsp import DSPMixin
+from ._effects import EffectMixin, ImpulseResponseMixin
+from .display import DisplayMixin
+from .ffmpeg import FFMPEGMixin
+from .loudness import LoudnessMixin
+from .playback import PlayMixin
+from .whisper import WhisperMixin
+from ..ops import fft as _fft
+from ..ops import resample as _resample
+
+STFTParams = namedtuple(
+    "STFTParams",
+    ["window_length", "hop_length", "window_type", "match_stride", "padding_type"],
+)
+"""STFT parameter container (reference audio_signal.py:28-50). Unspecified
+fields are inferred from the signal."""
+STFTParams.__new__.__defaults__ = (None, None, None, None, None)
+
+
+class _MetaBox:
+    """Hash-stable wrapper for host metadata living in pytree aux data.
+
+    Metadata never affects traced computation, so two signals differing
+    only in metadata must map to the same jit cache entry.
+    """
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    def __hash__(self):
+        return 0
+
+    def __eq__(self, other):
+        return isinstance(other, _MetaBox)
+
+
+class AudioSignal(
+    EffectMixin,
+    LoudnessMixin,
+    PlayMixin,
+    ImpulseResponseMixin,
+    DSPMixin,
+    DisplayMixin,
+    FFMPEGMixin,
+    WhisperMixin,
+):
+    """The core object of this library (reference audio_signal.py:53-120).
+
+    Examples
+    --------
+    >>> signal = AudioSignal(jnp.zeros(5*44100), 44100)
+    >>> signal = AudioSignal("audio.wav", offset=1.0, duration=5.0)
+    >>> signal.low_pass(8000).normalize(-24).stft()
+    """
+
+    def __init__(
+        self,
+        audio_path_or_array,
+        sample_rate: int = None,
+        stft_params: STFTParams = None,
+        offset: float = 0,
+        duration: float = None,
+        device: str = None,
+    ):
+        audio_path = None
+        audio_array = None
+
+        if isinstance(audio_path_or_array, str):
+            audio_path = audio_path_or_array
+        elif isinstance(audio_path_or_array, pathlib.Path):
+            audio_path = audio_path_or_array
+        elif isinstance(audio_path_or_array, (np.ndarray, jnp.ndarray)):
+            audio_array = audio_path_or_array
+        elif isinstance(audio_path_or_array, (list, tuple)):
+            audio_array = np.asarray(audio_path_or_array)
+        elif hasattr(audio_path_or_array, "numpy"):  # torch tensor interop
+            audio_array = audio_path_or_array.detach().cpu().numpy()
+        else:
+            raise ValueError(
+                "audio_path_or_array must be either a Path, "
+                "string, numpy array, or jax array!"
+            )
+
+        self.path_to_file = None
+        self._audio_data = None
+        self._stft_data = None
+        self._loudness = None
+        self.sources = None
+        self.original_signal_length = None
+
+        if audio_path is not None:
+            self.load_from_file(
+                audio_path, offset=offset, duration=duration, device=device
+            )
+        elif audio_array is not None:
+            assert sample_rate is not None, "Must set sample rate!"
+            self.load_from_array(audio_array, sample_rate, device=device)
+
+        self.stft_params = stft_params
+
+        self.metadata = {
+            "offset": offset,
+            "duration": duration,
+        }
+
+    # ------------------------------------------------------------------
+    # pytree protocol
+    # ------------------------------------------------------------------
+
+    def tree_flatten(self):
+        leaves = []
+        mask = []
+        for attr in ("_audio_data", "_stft_data", "_loudness"):
+            v = getattr(self, attr)
+            present = v is not None
+            mask.append(present)
+            if present:
+                leaves.append(v)
+        aux = (
+            tuple(mask),
+            self.sample_rate,
+            self.stft_params,
+            self.original_signal_length,
+            _MetaBox(
+                {
+                    "metadata": self.metadata,
+                    "path_to_file": self.path_to_file,
+                    "sources": self.sources,
+                }
+            ),
+        )
+        return tuple(leaves), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        mask, sample_rate, stft_params, original_signal_length, box = aux
+        obj = cls.__new__(cls)
+        it = iter(leaves)
+        for attr, present in zip(("_audio_data", "_stft_data", "_loudness"), mask):
+            setattr(obj, attr, next(it) if present else None)
+        obj.sample_rate = sample_rate
+        obj._stft_params = stft_params
+        obj.original_signal_length = original_signal_length
+        obj.metadata = box.value.get("metadata", {})
+        obj.path_to_file = box.value.get("path_to_file")
+        obj.sources = box.value.get("sources")
+        return obj
+
+    # ------------------------------------------------------------------
+    # constructors (reference audio_signal.py:179-470)
+    # ------------------------------------------------------------------
+
+    @property
+    def path_to_input_file(self):
+        """Alias of ``path_to_file`` (reference audio_signal.py:169-177)."""
+        return self.path_to_file
+
+    @classmethod
+    def excerpt(cls, audio_path, offset=None, duration=None, state=None, **kwargs):
+        """Random excerpt of ``duration`` seconds
+        (reference audio_signal.py:179-225)."""
+        info = util.info(audio_path)
+        total_duration = info.duration
+
+        state = util.random_state(state)
+        lower_bound = 0 if offset is None else offset
+        upper_bound = max(total_duration - duration, 0)
+        offset = state.uniform(lower_bound, upper_bound)
+
+        signal = cls(audio_path, offset=offset, duration=duration, **kwargs)
+        signal.metadata["offset"] = offset
+        signal.metadata["duration"] = duration
+
+        return signal
+
+    @classmethod
+    def salient_excerpt(
+        cls, audio_path, loudness_cutoff=None, num_tries=8, state=None, **kwargs
+    ):
+        """Excerpt whose loudness is above a cutoff
+        (reference audio_signal.py:227-286)."""
+        state = util.random_state(state)
+        if loudness_cutoff is None:
+            excerpt = cls.excerpt(audio_path, state=state, **kwargs)
+        else:
+            loudness = -np.inf
+            num_try = 0
+            while loudness <= loudness_cutoff:
+                excerpt = cls.excerpt(audio_path, state=state, **kwargs)
+                loudness = excerpt.loudness()
+                num_try += 1
+                if num_tries is not None and num_try >= num_tries:
+                    break
+        return excerpt
+
+    @classmethod
+    def zeros(cls, duration, sample_rate, num_channels=1, batch_size=1, **kwargs):
+        """All-zero AudioSignal (reference audio_signal.py:288-324)."""
+        n_samples = int(duration * sample_rate)
+        return cls(
+            jnp.zeros((batch_size, num_channels, n_samples), dtype=jnp.float32),
+            sample_rate,
+            **kwargs,
+        )
+
+    @classmethod
+    def wave(
+        cls, frequency, duration, sample_rate, num_channels=1, shape="sine", **kwargs
+    ):
+        """Waveform generator (reference audio_signal.py:326-378)."""
+        n_samples = int(duration * sample_rate)
+        t = np.linspace(0, duration, n_samples)
+        if shape == "sawtooth":
+            from scipy.signal import sawtooth
+
+            wave_data = sawtooth(2 * np.pi * frequency * t, 0.5)
+        elif shape == "square":
+            from scipy.signal import square
+
+            wave_data = square(2 * np.pi * frequency * t)
+        elif shape == "sine":
+            wave_data = np.sin(2 * np.pi * frequency * t)
+        elif shape == "triangle":
+            from scipy.signal import sawtooth
+
+            # frequency is doubled by the abs call, so omit the 2 in 2pi
+            wave_data = sawtooth(np.pi * frequency * t, 0.5)
+            wave_data = -np.abs(wave_data) * 2 + 1
+        else:
+            raise ValueError(f"Invalid shape {shape}")
+
+        wave_data = np.tile(
+            wave_data.astype(np.float32)[None, None, :], (1, num_channels, 1)
+        )
+        return cls(wave_data, sample_rate, **kwargs)
+
+    @classmethod
+    def batch(
+        cls,
+        audio_signals: list,
+        pad_signals: bool = False,
+        truncate_signals: bool = False,
+        resample: bool = False,
+        dim: int = 0,
+    ):
+        """Batch a list of AudioSignals (reference audio_signal.py:380-470)."""
+        signal_lengths = [x.signal_length for x in audio_signals]
+        sample_rates = [x.sample_rate for x in audio_signals]
+
+        if len(set(sample_rates)) != 1:
+            if resample:
+                for x in audio_signals:
+                    x.resample(sample_rates[0])
+            else:
+                raise RuntimeError(
+                    f"Not all signals had the same sample rate! Got {sample_rates}. "
+                    f"All signals must have the same sample rate, or resample must be True. "
+                )
+
+        if len(set(signal_lengths)) != 1:
+            if pad_signals:
+                max_length = max(signal_lengths)
+                for x in audio_signals:
+                    pad_len = max_length - x.signal_length
+                    x.zero_pad(0, pad_len)
+            elif truncate_signals:
+                min_length = min(signal_lengths)
+                for x in audio_signals:
+                    x.truncate_samples(min_length)
+            else:
+                raise RuntimeError(
+                    f"Not all signals had the same length! Got {signal_lengths}. "
+                    f"All signals must be the same length, or pad_signals/truncate_signals "
+                    f"must be True. "
+                )
+        audio_data = jnp.concatenate([x.audio_data for x in audio_signals], axis=dim)
+        audio_paths = [x.path_to_file for x in audio_signals]
+
+        batched_signal = cls(audio_data, sample_rate=audio_signals[0].sample_rate)
+        batched_signal.path_to_file = audio_paths
+        return batched_signal
+
+    # ------------------------------------------------------------------
+    # I/O (reference audio_signal.py:472-605)
+    # ------------------------------------------------------------------
+
+    def load_from_file(self, audio_path, offset, duration, device=None):
+        """Load from file via the native host decoder
+        (reference audio_signal.py:473-524)."""
+        from ..io import load_audio
+
+        data, sample_rate = load_audio(audio_path, offset=offset, duration=duration)
+        if data.shape[-1] == 0:
+            raise RuntimeError(
+                f"Audio file {audio_path} with offset {offset} and "
+                f"duration {duration} is empty!"
+            )
+        data = util.ensure_tensor(data)
+        if data.ndim < 2:
+            data = data[None, :]
+        if data.ndim < 3:
+            data = data[None, ...]
+        self.audio_data = data
+
+        self.original_signal_length = self.signal_length
+        self.sample_rate = sample_rate
+        self.path_to_file = audio_path
+        return self.to(device)
+
+    def load_from_array(self, audio_array, sample_rate, device=None):
+        """Load from an array, reshaping to (B, C, T)
+        (reference audio_signal.py:526-564)."""
+        audio_data = util.ensure_tensor(audio_array)
+        if audio_data.dtype == jnp.float64:
+            audio_data = audio_data.astype(jnp.float32)
+        if audio_data.ndim < 2:
+            audio_data = audio_data[None, :]
+        if audio_data.ndim < 3:
+            audio_data = audio_data[None, ...]
+        self.audio_data = audio_data
+
+        self.original_signal_length = self.signal_length
+        self.sample_rate = sample_rate
+        return self.to(device)
+
+    def write(self, audio_path, subtype: str = "PCM_16"):
+        """Write the first batch item to disk
+        (reference audio_signal.py:566-605)."""
+        from ..io import save_audio
+
+        data = np.asarray(self.audio_data[0])
+        if np.abs(data).max() > 1:
+            warnings.warn("Audio amplitude > 1 clipped when saving")
+        save_audio(str(audio_path), data, self.sample_rate, subtype=subtype)
+        self.path_to_file = audio_path
+        return self
+
+    def deepcopy(self):
+        """Deep copy (reference audio_signal.py:607-615)."""
+        return copy.deepcopy(self)
+
+    def copy(self):
+        """Shallow copy (reference audio_signal.py:617-625)."""
+        return copy.copy(self)
+
+    def clone(self):
+        """Copy with fresh array references (reference audio_signal.py:627-652)."""
+        clone = type(self)(
+            self.audio_data,
+            self.sample_rate,
+            stft_params=self.stft_params,
+        )
+        if self.stft_data is not None:
+            clone.stft_data = self.stft_data
+        if self._loudness is not None:
+            clone._loudness = self._loudness
+        clone.path_to_file = copy.deepcopy(self.path_to_file)
+        clone.metadata = copy.deepcopy(self.metadata)
+        clone.original_signal_length = self.original_signal_length
+        return clone
+
+    def detach(self):
+        """Stop gradients on all tensors (reference audio_signal.py:654-671)."""
+        if self._loudness is not None:
+            self._loudness = jax.lax.stop_gradient(self._loudness)
+        if self.stft_data is not None:
+            self._stft_data = jax.lax.stop_gradient(self.stft_data)
+        self._audio_data = jax.lax.stop_gradient(self.audio_data)
+        return self
+
+    def hash(self):
+        """Content hash of the audio (reference audio_signal.py:673-701)."""
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            self.write(f.name)
+            h = hashlib.sha256()
+            b = bytearray(128 * 1024)
+            mv = memoryview(b)
+            with open(f.name, "rb", buffering=0) as g:
+                for n in iter(lambda: g.readinto(mv), 0):
+                    h.update(mv[:n])
+            file_hash = h.hexdigest()
+        return file_hash
+
+    # ------------------------------------------------------------------
+    # signal ops (reference audio_signal.py:703-890)
+    # ------------------------------------------------------------------
+
+    def to_mono(self):
+        """Mean over channels (reference audio_signal.py:704-714)."""
+        self.audio_data = self.audio_data.mean(axis=1, keepdims=True)
+        return self
+
+    def resample(self, sample_rate: int):
+        """Sinc-interpolation resampling (reference audio_signal.py:716-736)."""
+        if sample_rate == self.sample_rate:
+            return self
+        self.audio_data = _resample.resample(
+            self.audio_data, self.sample_rate, sample_rate
+        )
+        self.sample_rate = sample_rate
+        return self
+
+    def to(self, device=None):
+        """Move all arrays to a jax device or sharding
+        (reference audio_signal.py:739-759)."""
+        if device is None or (isinstance(device, str) and device in ("cpu", "cuda")):
+            # string devices are accepted for reference compat; arrays stay
+            # wherever jax's default placement puts them.
+            return self
+        if self._loudness is not None:
+            self._loudness = jax.device_put(self._loudness, device)
+        if self._stft_data is not None:
+            self._stft_data = jax.device_put(self._stft_data, device)
+        if self._audio_data is not None:
+            self._audio_data = jax.device_put(self._audio_data, device)
+        return self
+
+    def float(self):
+        """Cast audio to float32 (reference audio_signal.py:761-769)."""
+        self.audio_data = self.audio_data.astype(jnp.float32)
+        return self
+
+    def cpu(self):
+        return self.to("cpu")
+
+    def cuda(self):  # compat no-op
+        return self.to("cuda")
+
+    def numpy(self):
+        """Audio data as a numpy array (reference audio_signal.py:789-797)."""
+        return np.asarray(jax.lax.stop_gradient(self.audio_data))
+
+    def zero_pad(self, before: int, after: int):
+        """Zero pad along time (reference audio_signal.py:799-815)."""
+        self.audio_data = jnp.pad(
+            self.audio_data, ((0, 0), (0, 0), (before, after))
+        )
+        return self
+
+    def zero_pad_to(self, length: int, mode: str = "after"):
+        """Pad to a target length (reference audio_signal.py:817-837)."""
+        if mode == "before":
+            self.zero_pad(max(length - self.signal_length, 0), 0)
+        elif mode == "after":
+            self.zero_pad(0, max(length - self.signal_length, 0))
+        return self
+
+    def trim(self, before: int, after: int):
+        """Trim samples off both ends (reference audio_signal.py:839-858)."""
+        if after == 0:
+            self.audio_data = self.audio_data[..., before:]
+        else:
+            self.audio_data = self.audio_data[..., before:-after]
+        return self
+
+    def truncate_samples(self, length_in_samples: int):
+        """Truncate to a length (reference audio_signal.py:860-874)."""
+        self.audio_data = self.audio_data[..., :length_in_samples]
+        return self
+
+    @property
+    def device(self):
+        """Device of the underlying arrays (reference audio_signal.py:876-889)."""
+        v = self._audio_data if self._audio_data is not None else self._stft_data
+        try:
+            return next(iter(v.devices()))
+        except Exception:
+            return None
+
+    # ------------------------------------------------------------------
+    # properties (reference audio_signal.py:891-1006)
+    # ------------------------------------------------------------------
+
+    @property
+    def audio_data(self):
+        """(B, C, T) audio samples (reference audio_signal.py:892-921)."""
+        return self._audio_data
+
+    @audio_data.setter
+    def audio_data(self, data):
+        if data is not None:
+            if not isinstance(data, jnp.ndarray) or isinstance(data, np.ndarray):
+                data = jnp.asarray(data)
+            assert data.ndim == 3, "audio_data should be 3-dim (B, C, T)"
+        self._audio_data = data
+        # Old loudness value not guaranteed to be right, reset it.
+        self._loudness = None
+
+    samples = audio_data
+
+    @property
+    def stft_data(self):
+        """(B, C, F, T) complex spectrogram (reference audio_signal.py:926-945)."""
+        return self._stft_data
+
+    @stft_data.setter
+    def stft_data(self, data):
+        if data is not None:
+            if not isinstance(data, jnp.ndarray) or isinstance(data, np.ndarray):
+                data = jnp.asarray(data)
+            assert jnp.iscomplexobj(data), "stft_data must be complex"
+            if self._stft_data is not None and self._stft_data.shape != data.shape:
+                warnings.warn("stft_data changed shape")
+        self._stft_data = data
+
+    @property
+    def batch_size(self):
+        return self.audio_data.shape[0]
+
+    @property
+    def signal_length(self):
+        return self.audio_data.shape[-1]
+
+    length = signal_length
+
+    @property
+    def shape(self):
+        return self.audio_data.shape
+
+    @property
+    def signal_duration(self):
+        return self.signal_length / self.sample_rate
+
+    duration = signal_duration
+
+    @property
+    def num_channels(self):
+        return self.audio_data.shape[1]
+
+    # ------------------------------------------------------------------
+    # STFT (reference audio_signal.py:1008-1516)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def get_window(window_type: str, window_length: int, device=None):
+        """Window array (reference audio_signal.py:1009-1039)."""
+        return jnp.asarray(_fft.get_window(window_type, window_length))
+
+    @property
+    def stft_params(self):
+        """STFT parameters, with unspecified fields inferred
+        (reference audio_signal.py:1041-1087)."""
+        return self._stft_params
+
+    @stft_params.setter
+    def stft_params(self, value: STFTParams):
+        default_win_len = _fft.default_win_length(self.sample_rate)
+        default_stft_params = STFTParams(
+            window_length=default_win_len,
+            hop_length=default_win_len // 4,
+            window_type="hann",
+            match_stride=False,
+            padding_type="reflect",
+        )._asdict()
+
+        value = value._asdict() if value else default_stft_params
+
+        for key in default_stft_params:
+            if value[key] is None:
+                value[key] = default_stft_params[key]
+
+        self._stft_params = STFTParams(**value)
+        self._stft_data = None
+
+    def compute_stft_padding(
+        self, window_length: int, hop_length: int, match_stride: bool
+    ):
+        """(right_pad, pad) for the STFT (reference audio_signal.py:1089-1121)."""
+        return _fft.compute_stft_padding(
+            self.signal_length, window_length, hop_length, match_stride
+        )
+
+    def stft(
+        self,
+        window_length: int = None,
+        hop_length: int = None,
+        window_type: str = None,
+        match_stride: bool = None,
+        padding_type: str = None,
+    ):
+        """Compute and cache the STFT (reference audio_signal.py:1123-1212)."""
+        window_length = (
+            self.stft_params.window_length
+            if window_length is None
+            else int(window_length)
+        )
+        hop_length = (
+            self.stft_params.hop_length if hop_length is None else int(hop_length)
+        )
+        window_type = (
+            self.stft_params.window_type if window_type is None else window_type
+        )
+        match_stride = (
+            self.stft_params.match_stride if match_stride is None else match_stride
+        )
+        padding_type = (
+            self.stft_params.padding_type if padding_type is None else padding_type
+        )
+
+        stft_data = _fft.stft(
+            self.audio_data,
+            window_length,
+            hop_length,
+            window_type,
+            match_stride,
+            padding_type,
+        )
+        self._stft_data = stft_data
+        return stft_data
+
+    def istft(
+        self,
+        window_length: int = None,
+        hop_length: int = None,
+        window_type: str = None,
+        match_stride: bool = None,
+        length: int = None,
+    ):
+        """Inverse STFT into ``audio_data`` (reference audio_signal.py:1214-1296)."""
+        if self.stft_data is None:
+            raise RuntimeError("Cannot do inverse STFT without self.stft_data!")
+
+        window_length = (
+            self.stft_params.window_length
+            if window_length is None
+            else int(window_length)
+        )
+        hop_length = (
+            self.stft_params.hop_length if hop_length is None else int(hop_length)
+        )
+        window_type = (
+            self.stft_params.window_type if window_type is None else window_type
+        )
+        match_stride = (
+            self.stft_params.match_stride if match_stride is None else match_stride
+        )
+
+        original_length = None
+        if length is None:
+            original_length = self.original_signal_length
+
+        audio_data = _fft.istft(
+            self.stft_data,
+            window_length,
+            hop_length,
+            window_type,
+            match_stride,
+            length=length,
+            original_length=original_length,
+        )
+        self.audio_data = audio_data
+        return self
+
+    @staticmethod
+    def get_mel_filters(sr, n_fft, n_mels, fmin=0.0, fmax=None):
+        """Mel filterbank matrix (reference audio_signal.py:1298-1331)."""
+        return jnp.asarray(_fft.mel_filters(sr, n_fft, n_mels, fmin, fmax))
+
+    def mel_spectrogram(self, n_mels=80, mel_fmin=0.0, mel_fmax=None, **kwargs):
+        """Mel spectrogram (B, C, n_mels, T) (reference audio_signal.py:1333-1369)."""
+        stft = self.stft(**kwargs)
+        magnitude = jnp.abs(stft)
+
+        nf = magnitude.shape[2]
+        mel_basis = self.get_mel_filters(
+            sr=self.sample_rate,
+            n_fft=2 * (nf - 1),
+            n_mels=n_mels,
+            fmin=mel_fmin,
+            fmax=mel_fmax,
+        )
+        mel = jnp.einsum(
+            "bcft,mf->bcmt",
+            magnitude,
+            mel_basis,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return mel
+
+    @staticmethod
+    def get_dct(n_mfcc, n_mels, norm="ortho", device=None):
+        """DCT matrix (reference audio_signal.py:1371-1396)."""
+        return jnp.asarray(_fft.dct_matrix(n_mfcc, n_mels, norm))
+
+    def mfcc(self, n_mfcc=40, n_mels=80, log_offset=1e-6, **kwargs):
+        """MFCCs (B, C, n_mfcc, T) (reference audio_signal.py:1398-1426)."""
+        mel = self.mel_spectrogram(n_mels, **kwargs)
+        mel = jnp.log(mel + log_offset)
+        dct_mat = self.get_dct(n_mfcc, n_mels, "ortho")
+        out = jnp.einsum(
+            "bcmt,mk->bckt", mel, dct_mat, precision=jax.lax.Precision.HIGHEST
+        )
+        return out
+
+    @property
+    def magnitude(self):
+        """|STFT| (computes stft if needed; reference audio_signal.py:1428-1450)."""
+        if self.stft_data is None:
+            self.stft()
+        return jnp.abs(self.stft_data)
+
+    @magnitude.setter
+    def magnitude(self, value):
+        self.stft_data = value * jnp.exp(1j * self.phase)
+
+    def log_magnitude(self, ref_value=1.0, amin=1e-5, top_db=80.0):
+        """Log-magnitude in dB (reference audio_signal.py:1457-1487)."""
+        return _fft.log_magnitude(self.magnitude, ref_value, amin, top_db)
+
+    @property
+    def phase(self):
+        """STFT phase (reference audio_signal.py:1489-1511)."""
+        if self.stft_data is None:
+            self.stft()
+        return jnp.angle(self.stft_data)
+
+    @phase.setter
+    def phase(self, value):
+        self.stft_data = self.magnitude * jnp.exp(1j * value)
+
+    # ------------------------------------------------------------------
+    # operators (reference audio_signal.py:1518-1550)
+    # ------------------------------------------------------------------
+
+    def __add__(self, other):
+        new_signal = self.clone()
+        new_signal.audio_data = new_signal.audio_data + util._get_value(other)
+        return new_signal
+
+    def __iadd__(self, other):
+        self.audio_data = self.audio_data + util._get_value(other)
+        return self
+
+    def __radd__(self, other):
+        return self + other
+
+    def __sub__(self, other):
+        new_signal = self.clone()
+        new_signal.audio_data = new_signal.audio_data - util._get_value(other)
+        return new_signal
+
+    def __isub__(self, other):
+        self.audio_data = self.audio_data - util._get_value(other)
+        return self
+
+    def __mul__(self, other):
+        new_signal = self.clone()
+        new_signal.audio_data = new_signal.audio_data * util._get_value(other)
+        return new_signal
+
+    def __imul__(self, other):
+        self.audio_data = self.audio_data * util._get_value(other)
+        return self
+
+    def __rmul__(self, other):
+        return self * other
+
+    # ------------------------------------------------------------------
+    # representation (reference audio_signal.py:1552-1618)
+    # ------------------------------------------------------------------
+
+    def _info(self):
+        dur = f"{self.signal_duration:0.3f}" if self.signal_duration else "[unknown]"
+        info = {
+            "duration": f"{dur} seconds",
+            "batch_size": self.batch_size,
+            "path": self.path_to_file if self.path_to_file else "path unknown",
+            "sample_rate": self.sample_rate,
+            "num_channels": self.num_channels if self.num_channels else "[unknown]",
+            "audio_data.shape": self.audio_data.shape,
+            "stft_params": self.stft_params,
+            "device": self.device,
+        }
+        return info
+
+    def markdown(self):
+        """Markdown table representation (reference audio_signal.py:1568-1597)."""
+        info = self._info()
+
+        FORMAT = "| Key | Value \n" "|---|--- \n"
+        for k, v in info.items():
+            row = f"| {k} | {v} |\n"
+            FORMAT += row
+        return FORMAT
+
+    def __str__(self):
+        info = self._info()
+        desc = ""
+        for k, v in info.items():
+            desc += f"{k}: {v}\n"
+        return desc
+
+    def __rich__(self):
+        from rich.table import Table
+
+        info = self._info()
+        table = Table(title=f"{self.__class__.__name__}")
+        table.add_column("Key", style="green")
+        table.add_column("Value", style="cyan")
+        for k, v in info.items():
+            table.add_row(k, str(v))
+        return table
+
+    # ------------------------------------------------------------------
+    # comparison & indexing (reference audio_signal.py:1620-1683)
+    # ------------------------------------------------------------------
+
+    def __eq__(self, other):
+        for k, v in list(self.__dict__.items()):
+            if isinstance(v, jnp.ndarray):
+                ov = other.__dict__[k]
+                if ov is None or not np.allclose(
+                    np.asarray(v), np.asarray(ov), atol=1e-6
+                ):
+                    max_error = (
+                        float("inf")
+                        if ov is None
+                        else np.abs(np.asarray(v) - np.asarray(ov)).max()
+                    )
+                    print(f"Max abs error for {k}: {max_error}")
+                    return False
+        return True
+
+    def __ne__(self, other):
+        return not self == other
+
+    def __getitem__(self, key):
+        if isinstance(key, list):
+            key = np.asarray(key)
+        if (
+            isinstance(key, (np.ndarray, jnp.ndarray))
+            and getattr(key, "ndim", None) == 0
+            and bool(key) is True
+        ):
+            assert self.batch_size == 1
+            audio_data = self.audio_data
+            _loudness = self._loudness
+            stft_data = self.stft_data
+        elif isinstance(key, (bool, int, list, slice, tuple)) or (
+            isinstance(key, (np.ndarray, jnp.ndarray)) and key.ndim <= 1
+        ):
+            # Indexing on the batch dimension; co-index stft/loudness.
+            audio_data = self.audio_data[key]
+            _loudness = self._loudness[key] if self._loudness is not None else None
+            stft_data = self.stft_data[key] if self.stft_data is not None else None
+        else:
+            raise ValueError(f"Unsupported key type: {type(key)}")
+
+        if isinstance(audio_data, jnp.ndarray) and audio_data.ndim < 3:
+            while audio_data.ndim < 3:
+                audio_data = audio_data[None, ...]
+
+        copy_ = type(self)(audio_data, self.sample_rate, stft_params=self.stft_params)
+        copy_._loudness = _loudness
+        copy_._stft_data = stft_data
+        copy_.sources = None
+        copy_.original_signal_length = self.original_signal_length
+        return copy_
+
+    def __setitem__(self, key, value):
+        # Functional update: jnp arrays are immutable, so we rebuild the
+        # leaves with `.at[key].set`. Boolean-mask keys work outside jit;
+        # inside jit use `AudioSignal.where`.
+        if isinstance(key, list):
+            key = np.asarray(key)
+        if not isinstance(value, type(self)):
+            self._audio_data = self.audio_data.at[key].set(value)
+            return
+
+        if (
+            isinstance(key, (np.ndarray, jnp.ndarray))
+            and getattr(key, "ndim", None) == 0
+            and bool(key) is True
+        ):
+            assert self.batch_size == 1
+            self._audio_data = value.audio_data
+            self._loudness = value._loudness
+            self._stft_data = value.stft_data
+            return
+
+        elif isinstance(key, (bool, int, list, slice, tuple)) or (
+            isinstance(key, (np.ndarray, jnp.ndarray)) and key.ndim <= 1
+        ):
+
+            def _set(dst, src):
+                return dst.at[key].set(src.reshape(dst[key].shape))
+
+            if self.audio_data is not None and value.audio_data is not None:
+                self._audio_data = _set(self.audio_data, value.audio_data)
+            if self._loudness is not None and value._loudness is not None:
+                self._loudness = _set(self._loudness, value._loudness)
+            if self.stft_data is not None and value.stft_data is not None:
+                self._stft_data = _set(self.stft_data, value.stft_data)
+            return
+
+    @classmethod
+    def where(cls, mask, if_true: "AudioSignal", if_false: "AudioSignal"):
+        """Per-item select between two signals (jit-safe replacement for
+        boolean-mask assignment; the TPU-idiomatic form of the reference's
+        ``signal[mask] = transformed`` pattern, transforms.py:158-164)."""
+        mask = jnp.asarray(mask).reshape(-1)
+
+        def sel(ndim):
+            return mask.reshape((-1,) + (1,) * (ndim - 1))
+
+        out = if_true.clone()
+        out.audio_data = jnp.where(
+            sel(if_true.audio_data.ndim), if_true.audio_data, if_false.audio_data
+        )
+        if if_true._stft_data is not None and if_false._stft_data is not None:
+            if if_true._stft_data.shape == if_false._stft_data.shape:
+                out._stft_data = jnp.where(
+                    sel(if_true._stft_data.ndim),
+                    if_true._stft_data,
+                    if_false._stft_data,
+                )
+        else:
+            out._stft_data = None
+        if if_true._loudness is not None and if_false._loudness is not None:
+            out._loudness = jnp.where(mask, if_true._loudness, if_false._loudness)
+        else:
+            out._loudness = None
+        return out
+
+
+jax.tree_util.register_pytree_node(
+    AudioSignal, AudioSignal.tree_flatten, AudioSignal.tree_unflatten
+)

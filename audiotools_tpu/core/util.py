@@ -1,0 +1,482 @@
+"""Core utilities.
+
+Mirror of `/root/reference/audiotools/core/util.py`, rebuilt for JAX:
+``ensure_tensor`` produces jnp arrays, ``collate`` stacks onto device
+arrays, ``prepare_batch`` moves pytrees to a jax device/sharding, and
+``flatten``/``unflatten`` replace the external ``flatten_dict`` dependency.
+"""
+import csv
+import glob
+import math
+import numbers
+import os
+import random
+import typing
+from contextlib import contextmanager
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# -----------------------------------------------------------------------------
+# dict flattening (replaces flatten_dict; reference util.py:17-18)
+# -----------------------------------------------------------------------------
+
+
+def flatten(d: dict, parent: tuple = ()) -> dict:
+    """Flatten a nested dict into {tuple_path: value}."""
+    out = {}
+    for k, v in d.items():
+        path = parent + (k,)
+        if isinstance(v, dict) and v:
+            out.update(flatten(v, path))
+        else:
+            out[path] = v
+    return out
+
+
+def unflatten(d: dict) -> dict:
+    """Invert ``flatten``."""
+    out = {}
+    for path, v in d.items():
+        cur = out
+        for k in path[:-1]:
+            cur = cur.setdefault(k, {})
+        cur[path[-1]] = v
+    return out
+
+
+# -----------------------------------------------------------------------------
+# info / ensure_tensor (reference util.py:21-89)
+# -----------------------------------------------------------------------------
+
+
+@dataclass
+class Info:
+    """File metadata shim (reference util.py:21-31)."""
+
+    sample_rate: float
+    num_frames: int
+
+    @property
+    def duration(self) -> float:
+        return self.num_frames / self.sample_rate
+
+
+def info(audio_path: str) -> Info:
+    """Audio file metadata without decoding (reference util.py:33-53)."""
+    from ..io import audio_info
+
+    i = audio_info(str(audio_path))
+    return Info(sample_rate=i.sample_rate, num_frames=i.num_frames)
+
+
+def ensure_tensor(
+    x,
+    ndim: int = None,
+    batch_size: int = None,
+) -> jnp.ndarray:
+    """Coerce ``x`` to a jnp array of the given ndim/batch size
+    (reference util.py:56-89)."""
+    if not isinstance(x, jnp.ndarray):
+        x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        x = x.astype(jnp.float32)
+    if ndim is not None:
+        assert x.ndim <= ndim
+        while x.ndim < ndim:
+            x = x[..., None]
+    if batch_size is not None:
+        if x.shape[0] != batch_size:
+            shape = list(x.shape)
+            shape[0] = batch_size
+            x = jnp.broadcast_to(x, shape)
+    return x
+
+
+def _get_value(other):
+    from .signal import AudioSignal
+
+    if isinstance(other, AudioSignal):
+        return other.audio_data
+    return other
+
+
+def hz_to_bin(hz, n_fft: int, sample_rate: int):
+    """Closest frequency bin for frequencies in Hz (reference util.py:100-126)."""
+    hz = jnp.asarray(hz)
+    shape = hz.shape
+    hz = jnp.minimum(hz.reshape(-1), sample_rate / 2)
+    freqs = jnp.linspace(0, sample_rate / 2, 2 + n_fft // 2)
+    closest = jnp.abs(hz[None, :] - freqs[:, None])
+    closest_bins = jnp.argmin(closest, axis=0)
+    return closest_bins.reshape(shape)
+
+
+# -----------------------------------------------------------------------------
+# randomness (reference util.py:129-188)
+# -----------------------------------------------------------------------------
+
+
+def random_state(seed):
+    """Turn a seed into a np.random.RandomState (reference util.py:129-160)."""
+    if seed is None or seed is np.random:
+        return np.random.mtrand._rand
+    elif isinstance(seed, (numbers.Integral, np.integer, int)):
+        return np.random.RandomState(seed)
+    elif isinstance(seed, np.random.RandomState):
+        return seed
+    else:
+        raise ValueError(
+            f"{seed!r} cannot be used to seed a numpy.random.RandomState instance"
+        )
+
+
+def seed(random_seed):
+    """Seed numpy and python RNGs (reference util.py:163-188; the cudnn
+    determinism knob has no TPU analog — XLA is deterministic by default)."""
+    np.random.seed(random_seed)
+    random.seed(random_seed)
+
+
+# -----------------------------------------------------------------------------
+# file discovery (reference util.py:222-323)
+# -----------------------------------------------------------------------------
+
+AUDIO_EXTENSIONS = [".wav", ".flac", ".mp3", ".mp4"]
+
+
+def find_audio(folder: str, ext: List[str] = AUDIO_EXTENSIONS):
+    """Find all audio files in a directory recursively (reference
+    util.py:225-251)."""
+    folder = Path(folder)
+    if str(folder).endswith(tuple(ext)):
+        if "*" in str(folder):
+            return glob.glob(str(folder), recursive=("**" in str(folder)))
+        else:
+            return [folder]
+    files = []
+    for x in ext:
+        files += folder.glob(f"**/*{x}")
+    return files
+
+
+def read_sources(
+    sources: List[str],
+    remove_empty: bool = True,
+    relative_path: str = "",
+    ext: List[str] = AUDIO_EXTENSIONS,
+):
+    """Convert folders/CSVs into a list of lists of {"path": ...} rows
+    (reference util.py:254-299)."""
+    files = []
+    relative_path = Path(relative_path)
+    for source in sources:
+        source = str(source)
+        _files = []
+        if source.endswith(".csv"):
+            with open(source, "r") as f:
+                reader = csv.DictReader(f)
+                for x in reader:
+                    if remove_empty and x["path"] == "":
+                        continue
+                    if x["path"] != "":
+                        x["path"] = str(relative_path / x["path"])
+                    _files.append(x)
+        else:
+            for x in find_audio(source, ext=ext):
+                x = str(relative_path / x)
+                _files.append({"path": x})
+        files.append(sorted(_files, key=lambda x: x["path"]))
+    return files
+
+
+def choose_from_list_of_lists(state: np.random.RandomState, list_of_lists, p=None):
+    """Choose an item from a list of lists (reference util.py:302-323)."""
+    source_idx = state.choice(list(range(len(list_of_lists))), p=p)
+    item_idx = state.randint(len(list_of_lists[source_idx]))
+    return list_of_lists[source_idx][item_idx], source_idx, item_idx
+
+
+@contextmanager
+def chdir(newdir):
+    """Context-managed directory change (reference util.py:326-343)."""
+    curdir = os.getcwd()
+    try:
+        os.chdir(newdir)
+        yield
+    finally:
+        os.chdir(curdir)
+
+
+# -----------------------------------------------------------------------------
+# batching (reference util.py:346-479)
+# -----------------------------------------------------------------------------
+
+
+def prepare_batch(batch, device=None):
+    """Move a (possibly nested) batch onto a jax device or sharding
+    (reference util.py:346-380; the host->device boundary)."""
+    from .signal import AudioSignal
+
+    def _put(v):
+        if isinstance(v, (jnp.ndarray, np.ndarray, AudioSignal)):
+            return jax.device_put(v, device) if device is not None else v
+        return v
+
+    if isinstance(batch, dict):
+        flat = flatten(batch)
+        flat = {k: _put(v) for k, v in flat.items()}
+        return unflatten(flat)
+    elif isinstance(batch, (list, tuple)):
+        return type(batch)(_put(v) for v in batch)
+    return _put(batch)
+
+
+def sample_from_dist(dist_tuple: tuple, state: np.random.RandomState = None):
+    """Sample from a distribution tuple like ("uniform", 0, 1)
+    (reference util.py:383-423)."""
+    if dist_tuple[0] == "const":
+        return dist_tuple[1]
+    state = random_state(state)
+    dist_fn = getattr(state, dist_tuple[0])
+    return dist_fn(*dist_tuple[1:])
+
+
+def _default_collate(values):
+    """Stack a list of scalars/arrays into one array (host-side)."""
+    v0 = values[0]
+    if isinstance(v0, (np.ndarray, jnp.ndarray)):
+        return jnp.stack([jnp.asarray(v) for v in values])
+    if isinstance(v0, (bool, np.bool_)):
+        return jnp.asarray(values, dtype=bool)
+    if isinstance(v0, (int, np.integer)):
+        return jnp.asarray(values, dtype=jnp.int32)
+    if isinstance(v0, (float, np.floating)):
+        return jnp.asarray(values, dtype=jnp.float32)
+    return values
+
+
+def collate(list_of_dicts: list, n_splits: int = None):
+    """AudioSignal-aware collation with optional sub-batch splitting
+    (reference util.py:426-479)."""
+    from .signal import AudioSignal
+
+    batches = []
+    list_len = len(list_of_dicts)
+
+    return_list = False if n_splits is None else True
+    n_splits = 1 if n_splits is None else n_splits
+    n_items = int(math.ceil(list_len / n_splits))
+
+    for i in range(0, list_len, n_items):
+        list_of_dicts_ = [flatten(d) for d in list_of_dicts[i : i + n_items]]
+        dict_of_lists = {
+            k: [dic[k] for dic in list_of_dicts_] for k in list_of_dicts_[0]
+        }
+
+        batch = {}
+        for k, v in dict_of_lists.items():
+            if isinstance(v, list):
+                if all(isinstance(s, AudioSignal) for s in v):
+                    batch[k] = AudioSignal.batch(v, pad_signals=True)
+                else:
+                    batch[k] = _default_collate(v)
+        batches.append(unflatten(batch))
+
+    batches = batches[0] if not return_list else batches
+    return batches
+
+
+# -----------------------------------------------------------------------------
+# plotting (reference util.py:482-591)
+# -----------------------------------------------------------------------------
+
+BASE_SIZE = 864
+DEFAULT_FIG_SIZE = (9, 3)
+
+
+def format_figure(
+    fig_size: tuple = None,
+    title: str = None,
+    fig=None,
+    format_axes: bool = True,
+    format: bool = True,
+    font_color: str = "white",
+):
+    """Prettify spectrogram/waveform plots: inset axes and title
+    (reference util.py:486-591)."""
+    import matplotlib.pyplot as plt
+
+    if fig_size is None:
+        fig_size = DEFAULT_FIG_SIZE
+    if not format:
+        return
+    if fig is None:
+        fig = plt.gcf()
+    fig.set_size_inches(*fig_size)
+    axs = fig.axes
+
+    pixels = (fig.get_size_inches() * fig.dpi)[0]
+    font_scale = pixels / BASE_SIZE
+
+    if format_axes:
+        axs = fig.axes
+
+        for ax in axs:
+            ymin, _ = ax.get_ylim()
+            xmin, _ = ax.get_xlim()
+
+            ticks = ax.get_yticks()
+            for t in ticks[2:-1]:
+                t = axs[0].annotate(
+                    f"{(t / 1000):2.1f}k",
+                    xy=(xmin, t),
+                    xycoords="data",
+                    xytext=(5, -5),
+                    textcoords="offset points",
+                    ha="left",
+                    va="top",
+                    color=font_color,
+                    fontsize=12 * font_scale,
+                    alpha=0.75,
+                )
+
+            ticks = ax.get_xticks()[2:]
+            for t in ticks[:-1]:
+                t = axs[0].annotate(
+                    f"{t:2.1f}s",
+                    xy=(t, ymin),
+                    xycoords="data",
+                    xytext=(5, 5),
+                    textcoords="offset points",
+                    ha="center",
+                    va="bottom",
+                    color=font_color,
+                    fontsize=12 * font_scale,
+                    alpha=0.75,
+                )
+
+            ax.margins(0, 0)
+            ax.set_axis_off()
+            ax.xaxis.set_major_locator(plt.NullLocator())
+            ax.yaxis.set_major_locator(plt.NullLocator())
+
+        plt.subplots_adjust(top=1, bottom=0, right=1, left=0, hspace=0, wspace=0)
+
+    if title is not None:
+        t = axs[0].annotate(
+            title,
+            xy=(1, 1),
+            xycoords="axes fraction",
+            fontsize=20 * font_scale,
+            xytext=(-5, -5),
+            textcoords="offset points",
+            ha="right",
+            va="top",
+            color="white",
+        )
+        t.set_bbox(dict(facecolor="black", alpha=0.5, edgecolor="black"))
+
+
+# -----------------------------------------------------------------------------
+# synthetic fixtures (reference util.py:593-671)
+# -----------------------------------------------------------------------------
+
+_NOTE_OFFSETS = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+
+
+def note_to_midi(note: str) -> int:
+    """Minimal note-name -> midi (replaces librosa.note_to_midi)."""
+    name = note[0].upper()
+    rest = note[1:]
+    accidental = 0
+    while rest and rest[0] in "#b!":
+        accidental += 1 if rest[0] == "#" else -1
+        rest = rest[1:]
+    octave = int(rest)
+    return 12 * (octave + 1) + _NOTE_OFFSETS[name] + accidental
+
+
+def midi_to_hz(midi: float) -> float:
+    return 440.0 * (2.0 ** ((midi - 69) / 12.0))
+
+
+def generate_chord_dataset(
+    max_voices: int = 8,
+    sample_rate: int = 44100,
+    num_items: int = 5,
+    duration: float = 1.0,
+    min_note: str = "C2",
+    max_note: str = "C6",
+    output_dir: Path = "chords",
+):
+    """Toy multitrack dataset of sine chords (reference util.py:593-671)."""
+    from .signal import AudioSignal
+    from ..data.preprocess import create_csv
+
+    min_midi = note_to_midi(min_note)
+    max_midi = note_to_midi(max_note)
+
+    tracks = []
+    for idx in range(num_items):
+        track = {}
+        num_voices = random.randint(1, max_voices)
+        for voice_idx in range(num_voices):
+            midinote = random.randint(min_midi, max_midi)
+            dur = random.uniform(0.85 * duration, duration)
+
+            sig = AudioSignal.wave(
+                frequency=midi_to_hz(midinote),
+                duration=dur,
+                sample_rate=sample_rate,
+                shape="sine",
+            )
+            track[f"voice_{voice_idx}"] = sig
+        tracks.append(track)
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(exist_ok=True)
+    for idx, track in enumerate(tracks):
+        track_dir = output_dir / f"track_{idx}"
+        track_dir.mkdir(exist_ok=True)
+        for voice_name, sig in track.items():
+            sig.write(track_dir / f"{voice_name}.wav")
+
+    all_voices = list(set([k for track in tracks for k in track.keys()]))
+    voice_lists = {voice: [] for voice in all_voices}
+    for track in tracks:
+        for voice_name in all_voices:
+            if voice_name in track:
+                voice_lists[voice_name].append(track[voice_name].path_to_file)
+            else:
+                voice_lists[voice_name].append("")
+
+    for voice_name, paths in voice_lists.items():
+        create_csv(paths, output_dir / f"{voice_name}.csv", loudness=True)
+
+    return output_dir
+
+
+@contextmanager
+def _close_temp_files(tmpfiles: list):
+    """Close and unlink temp files on exit (reference util.py:191-219)."""
+
+    def _close():
+        for t in tmpfiles:
+            try:
+                t.close()
+                os.unlink(t.name)
+            except:
+                pass
+
+    try:
+        yield
+    except:
+        _close()
+        raise
+    _close()

@@ -1,0 +1,46 @@
+"""Host-side audio I/O (strictly outside jit).
+
+WAV is decoded natively (`wav.py`); other formats raise with a clear
+message (the reference shells out to ffmpeg/librosa for those:
+/root/reference/audiotools/core/ffmpeg.py:149-211).
+"""
+from pathlib import Path
+
+import numpy as np
+
+from .wav import WavInfo, read_wav, wav_info, write_wav
+
+__all__ = ["load_audio", "save_audio", "audio_info", "WavInfo", "read_wav",
+           "wav_info", "write_wav"]
+
+
+def audio_info(path):
+    """File metadata (sample_rate, num_frames, duration) without decoding."""
+    path = Path(path)
+    if path.suffix.lower() == ".wav":
+        return wav_info(path)
+    raise ValueError(
+        f"Unsupported audio format '{path.suffix}'. Native support: .wav "
+        "(mp3/flac decoding requires external codecs not present in this "
+        "environment)."
+    )
+
+
+def load_audio(path, offset: float = 0.0, duration: float = None):
+    """Decode audio as ``(C, T)`` float32 in [-1, 1] plus sample rate."""
+    path = Path(path)
+    if path.suffix.lower() == ".wav":
+        return read_wav(path, offset=offset, duration=duration)
+    raise ValueError(
+        f"Unsupported audio format '{path.suffix}'. Native support: .wav."
+    )
+
+
+def save_audio(path, data: np.ndarray, sample_rate: int, subtype: str = "PCM_16"):
+    """Encode ``(C, T)`` float audio to disk (WAV)."""
+    path = Path(path)
+    if path.suffix.lower() == ".wav":
+        return write_wav(path, data, sample_rate, subtype=subtype)
+    raise ValueError(
+        f"Unsupported audio format '{path.suffix}'. Native support: .wav."
+    )

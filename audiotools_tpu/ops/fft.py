@@ -1,0 +1,392 @@
+"""Framed FFT ops: STFT / ISTFT, mel & MFCC bases, log-magnitude.
+
+TPU-first design notes
+----------------------
+Everything in this module is a pure, jittable function over ``(..., T)``
+arrays with *static* frame parameters, so a whole spectral-loss stack
+compiles to one XLA program. Framing is expressed as a gather with a
+precomputed index matrix (XLA lowers this to an efficient strided load),
+the FFT runs as a batched ``rfft`` over the last axis, and the mel / DCT
+projections are matmuls that map straight onto the MXU.
+
+Semantics mirror the reference implementation
+(`/root/reference/audiotools/core/audio_signal.py:1009-1516`):
+
+* ``stft`` = optional match-stride pre-pad (reflect) + center pad of
+  ``n_fft//2`` (reflect) + frames of length ``n_fft`` every ``hop``
+  samples + window + rfft (reference: audio_signal.py:1123-1212, which
+  defers to ``torch.stft(center=True)``).
+* ``match_stride`` drops the first/last two frames so that
+  ``frames * hop == samples`` (audio_signal.py:1206-1209).
+* ``istft`` inverts including re-padding dropped frames
+  (audio_signal.py:1214-1296), using windowed overlap-add with
+  window-square envelope normalization like ``torch.istft``.
+* mel filterbank follows librosa's slaney-scale / slaney-norm filters
+  (audio_signal.py:1298-1331), DCT follows torchaudio ``create_dct``
+  (audio_signal.py:1371-1396); both are computed natively here (no
+  librosa/torchaudio at runtime).
+"""
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "get_window",
+    "stft",
+    "istft",
+    "compute_stft_padding",
+    "num_frames",
+    "mel_filters",
+    "dct_matrix",
+    "mel_spectrogram",
+    "mfcc",
+    "log_magnitude",
+    "default_win_length",
+]
+
+
+def default_win_length(sample_rate: int) -> int:
+    """Default window: ``2 ** ceil(log2(0.032 * sr))`` (reference
+    audio_signal.py:1066)."""
+    return int(2 ** (np.ceil(np.log2(0.032 * sample_rate))))
+
+
+@functools.lru_cache(maxsize=None)
+def get_window(window_type: str, window_length: int) -> np.ndarray:
+    """Window function as float32 numpy array (host-cached).
+
+    Mirrors reference ``AudioSignal.get_window`` (audio_signal.py:1009-1039):
+    scipy ``get_window`` semantics (periodic windows), plus the extra
+    ``"average"`` and ``"sqrt_hann"`` types.
+    """
+    from scipy import signal
+
+    if window_type == "average":
+        window = np.ones(window_length) / window_length
+    elif window_type == "sqrt_hann":
+        window = np.sqrt(signal.get_window("hann", window_length))
+    else:
+        window = signal.get_window(window_type, window_length)
+    return window.astype(np.float32)
+
+
+def compute_stft_padding(
+    length: int, window_length: int, hop_length: int, match_stride: bool
+):
+    """Amount to pad on either side of audio before the STFT.
+
+    Mirrors reference ``compute_stft_padding`` (audio_signal.py:1089-1121).
+
+    Returns
+    -------
+    (right_pad, pad) : tuple of int
+    """
+    if match_stride:
+        assert (
+            hop_length == window_length // 4
+        ), "For match_stride, hop must equal n_fft // 4"
+        right_pad = math.ceil(length / hop_length) * hop_length - length
+        pad = (window_length - hop_length) // 2
+    else:
+        right_pad = 0
+        pad = 0
+    return right_pad, pad
+
+
+def num_frames(
+    length: int, window_length: int, hop_length: int, match_stride: bool = False
+) -> int:
+    """Number of STFT frames produced for a signal of ``length`` samples."""
+    right_pad, pad = compute_stft_padding(
+        length, window_length, hop_length, match_stride
+    )
+    padded = length + 2 * pad + right_pad
+    nt = 1 + padded // hop_length
+    if match_stride:
+        nt -= 4
+    return nt
+
+
+def _frame(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
+    """Extract frames from the last axis: ``(..., T) -> (..., n_frames, frame_length)``.
+
+    Implemented as a gather with a static index matrix; XLA turns this into
+    strided VMEM loads.
+    """
+    T = x.shape[-1]
+    n = 1 + (T - frame_length) // hop_length
+    idx = (
+        np.arange(n, dtype=np.int32)[:, None] * hop_length
+        + np.arange(frame_length, dtype=np.int32)[None, :]
+    )
+    return x[..., idx]
+
+
+def stft(
+    audio: jnp.ndarray,
+    window_length: int,
+    hop_length: int,
+    window_type: str = "hann",
+    match_stride: bool = False,
+    padding_type: str = "reflect",
+) -> jnp.ndarray:
+    """Short-time Fourier transform of ``(..., T)`` audio.
+
+    Returns complex64 of shape ``(..., n_freq, n_frames)`` with
+    ``n_freq = window_length // 2 + 1``, matching the reference's
+    ``torch.stft(center=True)`` path (audio_signal.py:1123-1212).
+    """
+    length = audio.shape[-1]
+    right_pad, pad = compute_stft_padding(
+        length, window_length, hop_length, match_stride
+    )
+    batch_shape = audio.shape[:-1]
+    x = audio.reshape((-1, length))
+
+    mode = {"reflect": "reflect", "constant": "constant", "replicate": "edge"}.get(
+        padding_type, padding_type
+    )
+    if pad + right_pad > 0:
+        x = jnp.pad(x, ((0, 0), (pad, pad + right_pad)), mode=mode)
+    # center padding (torch.stft center=True, default pad_mode="reflect")
+    cpad = window_length // 2
+    x = jnp.pad(x, ((0, 0), (cpad, cpad)), mode="reflect")
+
+    frames = _frame(x, window_length, hop_length)  # (B, n_frames, n_fft)
+    window = jnp.asarray(get_window(window_type, window_length))
+    spec = jnp.fft.rfft(frames * window, axis=-1)  # (B, n_frames, n_freq)
+    spec = jnp.swapaxes(spec, -1, -2)  # (B, n_freq, n_frames)
+
+    if match_stride:
+        # Drop first/last two frames added by padding, so that
+        # num_frames * hop_length == num_samples (audio_signal.py:1206-1209).
+        spec = spec[..., 2:-2]
+
+    return spec.reshape(batch_shape + spec.shape[1:])
+
+
+def istft(
+    stft_data: jnp.ndarray,
+    window_length: int,
+    hop_length: int,
+    window_type: str = "hann",
+    match_stride: bool = False,
+    length: int = None,
+    original_length: int = None,
+) -> jnp.ndarray:
+    """Inverse STFT of ``(..., n_freq, n_frames)`` complex data.
+
+    Mirrors reference ``istft`` (audio_signal.py:1214-1296): zero-pads back
+    the frames dropped under ``match_stride``, runs windowed overlap-add with
+    window-square normalization (``torch.istft`` semantics), trims center
+    padding, cuts to ``length``, then removes the match-stride padding.
+
+    One of ``length`` / ``original_length`` must be provided;
+    ``original_length`` is the pre-STFT signal length (the reference's
+    ``self.original_signal_length``).
+    """
+    if length is None and original_length is None:
+        raise ValueError("Provide either `length` or `original_length`.")
+    right_pad, pad = compute_stft_padding(
+        original_length if original_length is not None else length,
+        window_length,
+        hop_length,
+        match_stride,
+    )
+    if length is None:
+        length = original_length + 2 * pad + right_pad
+
+    batch_shape = stft_data.shape[:-2]
+    nf, nt = stft_data.shape[-2], stft_data.shape[-1]
+    spec = stft_data.reshape((-1, nf, nt))
+
+    if match_stride:
+        spec = jnp.pad(spec, ((0, 0), (0, 0), (2, 2)))
+        nt = nt + 4
+
+    window = jnp.asarray(get_window(window_type, window_length))
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=window_length, axis=-1)
+    frames = frames * window  # (B, nt, n_fft)
+
+    out_len = window_length + hop_length * (nt - 1)
+    idx = (
+        np.arange(nt, dtype=np.int32)[:, None] * hop_length
+        + np.arange(window_length, dtype=np.int32)[None, :]
+    ).reshape(-1)
+    flat = frames.reshape((frames.shape[0], -1))
+    y = jnp.zeros((frames.shape[0], out_len), dtype=frames.dtype)
+    y = y.at[:, idx].add(flat)
+
+    wsq = jnp.tile((window * window)[None, :], (nt, 1)).reshape(-1)
+    norm = jnp.zeros((out_len,), dtype=frames.dtype).at[idx].add(wsq)
+    y = y / jnp.where(norm > 1e-11, norm, 1.0)
+
+    # remove the center padding, cut to length
+    cpad = window_length // 2
+    y = y[:, cpad:]
+    if y.shape[1] < length:
+        y = jnp.pad(y, ((0, 0), (0, length - y.shape[1])))
+    y = y[:, :length]
+
+    if match_stride:
+        y = y[:, pad : y.shape[1] - (pad + right_pad)]
+
+    return y.reshape(batch_shape + (y.shape[-1],))
+
+
+# -----------------------------------------------------------------------------
+# Mel / DCT bases (native replacements for librosa.filters.mel and
+# torchaudio.functional.create_dct; reference audio_signal.py:1298-1331,
+# 1371-1396).
+# -----------------------------------------------------------------------------
+
+
+def _hz_to_mel(freq: np.ndarray) -> np.ndarray:
+    """Slaney-scale Hz->mel (librosa default, htk=False)."""
+    freq = np.asanyarray(freq, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = freq / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    if freq.ndim:
+        log_t = freq >= min_log_hz
+        mels[log_t] = min_log_mel + np.log(freq[log_t] / min_log_hz) / logstep
+    elif freq >= min_log_hz:
+        mels = min_log_mel + np.log(freq / min_log_hz) / logstep
+    return mels
+
+
+def _mel_to_hz(mels: np.ndarray) -> np.ndarray:
+    """Slaney-scale mel->Hz (librosa default, htk=False)."""
+    mels = np.asanyarray(mels, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    if mels.ndim:
+        log_t = mels >= min_log_mel
+        freqs[log_t] = min_log_hz * np.exp(logstep * (mels[log_t] - min_log_mel))
+    elif mels >= min_log_mel:
+        freqs = min_log_hz * np.exp(logstep * (mels - min_log_mel))
+    return freqs
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filters(
+    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: float = None
+) -> np.ndarray:
+    """Mel filterbank matrix ``(n_mels, 1 + n_fft//2)``.
+
+    Native reimplementation of ``librosa.filters.mel`` with the defaults the
+    reference uses (slaney mel scale, slaney area normalization); reference
+    ``get_mel_filters`` (audio_signal.py:1298-1331).
+    """
+    if fmax is None:
+        fmax = float(sr) / 2
+
+    fftfreqs = np.linspace(0, float(sr) / 2, 1 + n_fft // 2, endpoint=True)
+    mel_f = _mel_to_hz(np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2))
+
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0, np.minimum(lower, upper))
+
+    # slaney normalization: scale to be approx constant energy per channel
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def dct_matrix(n_mfcc: int, n_mels: int, norm: str = "ortho") -> np.ndarray:
+    """DCT-II matrix ``(n_mels, n_mfcc)``.
+
+    Native reimplementation of ``torchaudio.functional.create_dct``;
+    reference ``get_dct`` (audio_signal.py:1371-1396).
+    """
+    n = np.arange(n_mels, dtype=np.float64)
+    k = np.arange(n_mfcc, dtype=np.float64)[:, None]
+    dct = np.cos(np.pi / n_mels * (n + 0.5) * k)  # (n_mfcc, n_mels)
+    if norm is None:
+        dct *= 2.0
+    else:
+        assert norm == "ortho"
+        dct[0] *= 1.0 / np.sqrt(2.0)
+        dct *= np.sqrt(2.0 / n_mels)
+    return dct.T.astype(np.float32)
+
+
+def mel_spectrogram(
+    audio: jnp.ndarray,
+    sample_rate: int,
+    n_mels: int = 80,
+    mel_fmin: float = 0.0,
+    mel_fmax: float = None,
+    window_length: int = None,
+    hop_length: int = None,
+    window_type: str = "hann",
+    match_stride: bool = False,
+    padding_type: str = "reflect",
+) -> jnp.ndarray:
+    """Mel spectrogram ``(..., n_mels, n_frames)`` of ``(..., T)`` audio.
+
+    |STFT| projected through the mel basis with an MXU matmul in full
+    precision (reference ``mel_spectrogram``, audio_signal.py:1333-1369).
+    """
+    if window_length is None:
+        window_length = default_win_length(sample_rate)
+    if hop_length is None:
+        hop_length = window_length // 4
+    spec = stft(
+        audio, window_length, hop_length, window_type, match_stride, padding_type
+    )
+    magnitude = jnp.abs(spec)
+    basis = jnp.asarray(
+        mel_filters(sample_rate, window_length, n_mels, mel_fmin, mel_fmax)
+    )
+    mel = jnp.einsum(
+        "...ft,mf->...mt", magnitude, basis, precision=jax.lax.Precision.HIGHEST
+    )
+    return mel
+
+
+def mfcc(
+    audio: jnp.ndarray,
+    sample_rate: int,
+    n_mfcc: int = 40,
+    n_mels: int = 80,
+    log_offset: float = 1e-6,
+    **kwargs,
+) -> jnp.ndarray:
+    """MFCCs ``(..., n_mfcc, n_frames)`` (reference audio_signal.py:1398-1426)."""
+    mel = mel_spectrogram(audio, sample_rate, n_mels=n_mels, **kwargs)
+    log_mel = jnp.log(mel + log_offset)
+    dct = jnp.asarray(dct_matrix(n_mfcc, n_mels, "ortho"))
+    out = jnp.einsum(
+        "...mt,mk->...kt", log_mel, dct, precision=jax.lax.Precision.HIGHEST
+    )
+    return out
+
+
+def log_magnitude(
+    magnitude: jnp.ndarray,
+    ref_value: float = 1.0,
+    amin: float = 1e-5,
+    top_db: float = 80.0,
+) -> jnp.ndarray:
+    """Log-magnitude in dB, librosa ``amplitude_to_db``-compatible
+    (reference ``log_magnitude``, audio_signal.py:1457-1487)."""
+    amin = amin**2
+    log_spec = 10.0 * jnp.log10(jnp.maximum(magnitude**2, amin))
+    log_spec = log_spec - 10.0 * np.log10(np.maximum(amin, ref_value))
+    if top_db is not None:
+        log_spec = jnp.maximum(log_spec, log_spec.max() - top_db)
+    return log_spec

@@ -1,0 +1,307 @@
+"""FIR/IIR filtering primitives: windowed-sinc kernels, FFT convolution,
+mel band-splitting, biquad cascades.
+
+TPU-first design notes
+----------------------
+* All FIR filtering goes through one batched FFT convolution
+  (``fft_conv1d``) — ``rfft``/``irfft`` are XLA-native and HBM-bandwidth
+  bound, so a single fused conv over ``(B*C, T)`` is the speed-of-light
+  implementation for the long kernels used here (50-45k taps).
+* Per-item filter cutoffs are handled by building the whole bank of
+  windowed-sinc kernels *inside* the program from traced cutoff values over
+  a static support (``lowpass_kernel``) — no Python loop over the batch
+  (the reference loops per item: /root/reference/audiotools/core/dsp.py:177-179).
+* Exact IIR biquads are evaluated with an associative scan (O(log T) depth)
+  rather than a sequential time loop, so the "exact" loudness path is also
+  TPU-fast.
+
+Numerical semantics mirror ``julius`` (pure-torch) filters used by the
+reference: ``julius.LowPassFilter/HighPassFilter`` (dsp.py:178,210),
+``julius.SplitBands`` (effects.py:399-403), ``julius.fftconv.fft_conv1d``
+(loudness.py:94).
+"""
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "fft_conv1d",
+    "lowpass_kernel",
+    "low_pass",
+    "high_pass",
+    "split_bands",
+    "mel_band_cutoffs",
+    "equalizer",
+    "biquad",
+    "biquad_cascade",
+    "fir_from_biquad",
+    "preemphasis",
+]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def fft_conv1d(x: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
+    """Valid-mode convolution of ``(..., T)`` signals with ``(K, L)`` kernels
+    via FFT, returning ``(..., K, T - L + 1)``.
+
+    The kernels are *correlated* (torch ``conv1d`` convention, as in
+    ``julius.fftconv.fft_conv1d``).
+    """
+    T = x.shape[-1]
+    L = kernels.shape[-1]
+    n = _next_pow2(T)
+    X = jnp.fft.rfft(x, n=n)
+    # correlation == convolution with reversed kernel
+    H = jnp.fft.rfft(kernels[..., ::-1], n=n)
+    Y = X[..., None, :] * H
+    y = jnp.fft.irfft(Y, n=n)
+    return y[..., L - 1 : T]
+
+
+def causal_fft_conv1d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Causal convolution ``y[n] = sum_k h[k] x[n-k]`` truncated to ``T``.
+
+    Matches the net alignment of the reference loudness FIR path
+    (/root/reference/audiotools/core/loudness.py:89-96: pad, fft_conv with
+    reversed kernel, slice ``[1:nt+1]``).
+    """
+    T = x.shape[-1]
+    L = kernel.shape[-1]
+    n = _next_pow2(T + L)
+    X = jnp.fft.rfft(x, n=n)
+    H = jnp.fft.rfft(kernel, n=n)
+    y = jnp.fft.irfft(X * H, n=n)
+    return y[..., :T]
+
+
+def lowpass_kernel(
+    cutoff: jnp.ndarray, zeros: int, half_size: int
+) -> jnp.ndarray:
+    """Windowed-sinc low-pass kernel(s) over a static support.
+
+    Reproduces ``julius.LowPassFilter``'s kernel for a (possibly traced)
+    ``cutoff`` expressed as a fraction of the sample rate: taps
+    ``2*c*hann(2h+1)*sinc(2*pi*c*t)`` for ``|t| <= h`` with
+    ``h = floor(zeros / cutoff / 2)``, normalized to unit sum. Taps outside
+    the per-cutoff support are zero, so a conservative static ``half_size``
+    yields exactly the same filter as julius's dynamic sizing.
+
+    Parameters
+    ----------
+    cutoff : scalar or (B,) array, fraction of sample rate in (0, 0.5].
+    zeros : int, number of zero crossings (reference default 51).
+    half_size : int, static support half-width; must satisfy
+        ``half_size >= floor(zeros / cutoff / 2)`` for every cutoff.
+
+    Returns
+    -------
+    (B, 2*half_size+1) (or (2*half_size+1,) for scalar input) kernel array.
+    """
+    cutoff = jnp.asarray(cutoff, dtype=jnp.float32)
+    scalar = cutoff.ndim == 0
+    c = jnp.atleast_1d(cutoff)[:, None]  # (B, 1)
+    t = jnp.arange(-half_size, half_size + 1, dtype=jnp.float32)[None, :]
+
+    h = jnp.floor(zeros / c / 2.0)  # per-item half support
+    inside = jnp.abs(t) <= h
+    # hann_window(2h+1, periodic=False) centered: cos^2(pi t / (2h))
+    window = jnp.cos(jnp.pi * t / (2.0 * jnp.maximum(h, 1.0))) ** 2
+    arg = 2.0 * c * jnp.pi * t
+    sinc = jnp.where(jnp.abs(arg) < 1e-8, 1.0, jnp.sin(arg) / jnp.where(arg == 0, 1.0, arg))
+    kernel = 2.0 * c * window * sinc
+    kernel = jnp.where(inside, kernel, 0.0)
+    kernel = kernel / jnp.sum(kernel, axis=-1, keepdims=True)
+    # cutoff >= 0.5 -> identity (julius: delta), cutoff <= 0 -> zero
+    delta = (t == 0).astype(kernel.dtype)
+    kernel = jnp.where(c >= 0.5, delta, kernel)
+    kernel = jnp.where(c <= 0.0, 0.0, kernel)
+    return kernel[0] if scalar else kernel
+
+
+def _edge_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Replicate-pad the last axis (julius pads mode='replicate')."""
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
+
+
+def low_pass(
+    audio: jnp.ndarray, cutoffs: jnp.ndarray, sample_rate: int, zeros: int = 51,
+    min_cutoff_hz: float = 40.0,
+) -> jnp.ndarray:
+    """Low-pass ``(B, C, T)`` audio with per-item cutoffs in Hz.
+
+    Vmapped-kernel equivalent of the reference's per-item julius loop
+    (/root/reference/audiotools/core/dsp.py:153-183). ``min_cutoff_hz``
+    bounds the static kernel support; cutoffs below it are clamped.
+    """
+    B, C, T = audio.shape
+    c = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(cutoffs, jnp.float32)).reshape(-1), (B,))
+    c = jnp.maximum(c, min_cutoff_hz) / sample_rate
+    half = int(zeros / (min_cutoff_hz / sample_rate) / 2)
+    kernels = lowpass_kernel(c, zeros, half)  # (B, 2h+1)
+    x = _edge_pad(audio, half)  # (B, C, T + 2h)
+    # one fft conv per batch item against its own kernel
+    L = kernels.shape[-1]
+    n = _next_pow2(x.shape[-1])
+    X = jnp.fft.rfft(x, n=n)
+    H = jnp.fft.rfft(kernels[:, None, ::-1], n=n)
+    y = jnp.fft.irfft(X * H, n=n)
+    return y[..., L - 1 : L - 1 + T]
+
+
+def high_pass(
+    audio: jnp.ndarray, cutoffs: jnp.ndarray, sample_rate: int, zeros: int = 51,
+    min_cutoff_hz: float = 40.0,
+) -> jnp.ndarray:
+    """High-pass = input - low_pass (julius.HighPassFilter semantics;
+    reference /root/reference/audiotools/core/dsp.py:185-215)."""
+    return audio - low_pass(audio, cutoffs, sample_rate, zeros, min_cutoff_hz)
+
+
+@functools.lru_cache(maxsize=None)
+def mel_band_cutoffs(sample_rate: int, n_bands: int) -> tuple:
+    """Interior mel-spaced cutoff frequencies (Hz) for ``SplitBands``.
+
+    julius uses the HTK mel scale (2595*log10(1+f/700)) with ``n_bands + 1``
+    points between 0 and Nyquist, keeping the interior points.
+    """
+    low = 0.0
+    high = 2595.0 * math.log10(1 + (sample_rate / 2) / 700.0)
+    mels = np.linspace(low, high, n_bands + 1)
+    freqs = 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+    return tuple(float(f) for f in freqs[1:-1])
+
+
+@functools.lru_cache(maxsize=None)
+def _split_band_kernels(sample_rate: int, n_bands: int, zeros: int = 8):
+    """Static low-pass kernel bank for the mel band-splitter."""
+    cutoffs = np.array(mel_band_cutoffs(sample_rate, n_bands)) / sample_rate
+    half = int(zeros / cutoffs.min() / 2)
+    t = np.arange(-half, half + 1, dtype=np.float64)
+    kernels = np.zeros((len(cutoffs), 2 * half + 1))
+    for i, c in enumerate(cutoffs):
+        h = int(zeros / c / 2)
+        tt = np.arange(-h, h + 1, dtype=np.float64)
+        win = np.hanning(2 * h + 1) if h > 0 else np.ones(1)
+        arg = 2 * c * np.pi * tt
+        sinc = np.where(np.abs(arg) < 1e-12, 1.0, np.sin(arg) / np.where(arg == 0, 1, arg))
+        k = 2 * c * win * sinc
+        k = k / k.sum()
+        kernels[i, half - h : half + h + 1] = k
+    return kernels.astype(np.float32), half
+
+
+def split_bands(audio: jnp.ndarray, sample_rate: int, n_bands: int, zeros: int = 8):
+    """Split ``(B, C, T)`` audio into ``n_bands`` mel-spaced bands
+    ``(B, C, T, n_bands)``.
+
+    julius.SplitBands semantics (reference effects.py:386-403): cascade of
+    low-passes at mel-spaced cutoffs; band i = lp[i] - lp[i-1]; the last
+    band is the residual, so the bands sum exactly to the input.
+    """
+    if n_bands < 1:
+        raise ValueError("n_bands must be >= 1")
+    if n_bands == 1:
+        return audio[..., None]
+    kernels, half = _split_band_kernels(sample_rate, n_bands, zeros)
+    x = _edge_pad(audio, half)
+    lows = fft_conv1d(x, jnp.asarray(kernels))  # (B, C, n_bands-1, T)
+    lows = jnp.moveaxis(lows, -2, 0)  # (n_bands-1, B, C, T)
+    bands = [lows[0]]
+    for i in range(1, n_bands - 1):
+        bands.append(lows[i] - lows[i - 1])
+    bands.append(audio - lows[-1])
+    return jnp.stack(bands, axis=-1)
+
+
+def equalizer(
+    audio: jnp.ndarray, db: jnp.ndarray, sample_rate: int, zeros: int = 8
+) -> jnp.ndarray:
+    """Mel-spaced graphic EQ: weight each band by ``10**db`` and sum
+    (reference ``EffectMixin.equalizer``, effects.py:405-433)."""
+    db = jnp.asarray(db, dtype=jnp.float32)
+    if db.ndim == 1:
+        db = db[None, :]
+    n_bands = db.shape[-1]
+    bands = split_bands(audio, sample_rate, n_bands, zeros)
+    weights = 10.0 ** db  # (B, n_bands)
+    return jnp.sum(bands * weights[:, None, None, :], axis=-1)
+
+
+# -----------------------------------------------------------------------------
+# IIR biquads
+# -----------------------------------------------------------------------------
+
+
+def biquad(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Exact direct-form-II-transposed biquad over the last axis.
+
+    ``a``/``b`` are length-3 coefficient arrays (``a[0]`` normalized to 1 is
+    not required; we normalize). Implemented as an associative scan over the
+    2-dim state recurrence, giving O(log T) depth on TPU instead of a
+    sequential time loop (replaces ``torchaudio.functional.lfilter``,
+    reference loudness.py:122).
+    """
+    b = jnp.asarray(b, dtype=x.dtype)
+    a = jnp.asarray(a, dtype=x.dtype)
+    b = b / a[0]
+    a = a / a[0]
+
+    # DF2T: y[n] = b0 x[n] + s1[n-1]
+    #       s1[n] = b1 x[n] - a1 y[n] + s2[n-1]
+    #       s2[n] = b2 x[n] - a2 y[n]
+    # State s = (s1, s2); s[n] = A s[n-1] + B x[n] with
+    # A = [[-a1, 1], [-a2, 0]], B = [b1 - a1 b0, b2 - a2 b0]
+    A = jnp.array([[-a[1], 1.0], [-a[2], 0.0]], dtype=x.dtype)
+    Bv = jnp.array([b[1] - a[1] * b[0], b[2] - a[2] * b[0]], dtype=x.dtype)
+
+    T = x.shape[-1]
+    batch_shape = x.shape[:-1]
+    xf = x.reshape((-1, T))
+
+    # elements: (M_n, v_n) with s_n = M_n s_{n-1} + v_n ; M_n == A constant.
+    B_sz = xf.shape[0]
+    Ms = jnp.broadcast_to(A, (B_sz, T, 2, 2))
+    vs = xf[..., :, None] * Bv  # (B, T, 2)
+
+    def combine(left, right):
+        M1, v1 = left
+        M2, v2 = right
+        return M2 @ M1, jnp.einsum("...tij,...tj->...ti", M2, v1) + v2
+
+    M_acc, v_acc = jax.lax.associative_scan(combine, (Ms, vs), axis=1)
+    # s[n] = v_acc[n] (initial state = 0); y[n] = b0 x[n] + s1[n-1]
+    s1 = v_acc[..., 0]
+    s1_prev = jnp.concatenate([jnp.zeros_like(s1[..., :1]), s1[..., :-1]], axis=-1)
+    y = b[0] * xf + s1_prev
+    return y.reshape(batch_shape + (T,))
+
+
+def biquad_cascade(x: jnp.ndarray, coeffs: list) -> jnp.ndarray:
+    """Apply a sequence of ``(b, a, gain)`` biquad stages."""
+    for b, a, gain in coeffs:
+        x = gain * biquad(x, b, a)
+    return x
+
+
+def fir_from_biquad(b: np.ndarray, a: np.ndarray, n_taps: int) -> np.ndarray:
+    """Truncated impulse response of an IIR biquad (host-side design),
+    as the reference builds its GPU FIR approximation (loudness.py:54-64)."""
+    from scipy.signal import lfilter
+
+    impulse = np.zeros(n_taps)
+    impulse[0] = 1.0
+    return lfilter(b, a, impulse).astype(np.float32)
+
+
+def preemphasis(audio: jnp.ndarray, coef: float = 0.85) -> jnp.ndarray:
+    """Pre-emphasis matching the reference's conv kernel ``[1, -coef, 0]``
+    with padding 1 (/root/reference/audiotools/core/dsp.py:372-390):
+    ``y[n] = x[n-1] - coef * x[n]`` (with ``x[-1] = 0``)."""
+    x_prev = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(1, 0)])[..., :-1]
+    return x_prev - coef * audio

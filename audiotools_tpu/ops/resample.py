@@ -1,0 +1,84 @@
+"""Polyphase windowed-sinc resampling.
+
+Re-derivation of the julius ``resample_frac`` algorithm the reference uses
+(`/root/reference/audiotools/core/audio_signal.py:716-736`): the signal is
+reconstructed with a windowed sinc kernel whose cutoff is
+``rolloff * min(old_sr, new_sr)`` and re-sampled on the new grid. After
+reducing ``old_sr/new_sr`` by their gcd, output sample ``j`` lands at input
+position ``j * old_sr / new_sr``, so the interpolation becomes ``new_sr``
+polyphase FIR kernels applied with stride ``old_sr`` — one strided
+``conv_general_dilated`` on TPU (no Python loops, fully batched, MXU/VPU
+friendly).
+"""
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["resample_kernels", "resample"]
+
+
+@functools.lru_cache(maxsize=None)
+def resample_kernels(
+    old_sr: int, new_sr: int, zeros: int = 24, rolloff: float = 0.945
+):
+    """Polyphase kernel bank ``(new_sr, width*2 + old_sr)`` (host-cached).
+
+    ``old_sr``/``new_sr`` must already be reduced by their gcd. Each phase
+    kernel is a Hann^2-windowed sinc at cutoff ``rolloff*min(old,new)``,
+    normalized to unit sum so constants are preserved.
+    """
+    assert math.gcd(old_sr, new_sr) == 1
+    sr = min(new_sr, old_sr) * rolloff
+    width = math.ceil(zeros * old_sr / sr)
+    idx = np.arange(-width, width + old_sr, dtype=np.float64)
+    kernels = []
+    for i in range(new_sr):
+        t = (-i / new_sr + idx / old_sr) * sr
+        t = np.clip(t, -zeros, zeros)
+        t *= np.pi
+        window = np.cos(t / zeros / 2) ** 2
+        sinc = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t))
+        kernel = sinc * window
+        kernel /= kernel.sum()
+        kernels.append(kernel)
+    return np.stack(kernels).astype(np.float32), width
+
+
+def resample(
+    audio: jnp.ndarray,
+    old_sr: int,
+    new_sr: int,
+    zeros: int = 24,
+    rolloff: float = 0.945,
+) -> jnp.ndarray:
+    """Resample ``(..., T)`` audio from ``old_sr`` to ``new_sr``.
+
+    Output length is ``int(T * new_sr / old_sr)`` (reference resample via
+    julius, audio_signal.py:732).
+    """
+    if old_sr == new_sr:
+        return audio
+    gcd = math.gcd(int(old_sr), int(new_sr))
+    old, new = int(old_sr) // gcd, int(new_sr) // gcd
+    kernels, width = resample_kernels(old, new, zeros, rolloff)
+
+    T = audio.shape[-1]
+    batch_shape = audio.shape[:-1]
+    x = audio.reshape((-1, 1, T)).astype(jnp.float32)
+    x = jnp.pad(x, ((0, 0), (0, 0), (width, width + old)))
+    # (B, 1, Tp) * (new, 1, W) stride old -> (B, new, n_blocks)
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(kernels)[:, None, :],
+        window_strides=(old,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    # interleave phases: out[p*new + i] = y[:, i, p]
+    y = jnp.swapaxes(y, -1, -2).reshape((x.shape[0], -1))
+    out_len = int(T * new / old)
+    y = y[..., :out_len]
+    return y.reshape(batch_shape + (out_len,))

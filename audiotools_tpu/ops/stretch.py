@@ -1,0 +1,98 @@
+"""Differentiable phase-vocoder time stretching and pitch shifting.
+
+The reference shells out to sox for these (CPU-only, non-differentiable:
+`/root/reference/audiotools/core/effects.py:247-309`, and its own grad
+tests assert no gradient flows, tests/core/test_grad.py:55-56). Here both
+run on-device as batched XLA programs: STFT -> magnitude interpolation +
+cumulative phase propagation (a vectorized cumsum, no sequential loop) ->
+ISTFT, so they are fast on TPU *and* differentiable.
+"""
+from fractions import Fraction
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import fft as _fft
+from . import resample as _resample
+
+__all__ = ["phase_vocoder", "time_stretch", "pitch_shift"]
+
+
+def phase_vocoder(
+    stft_data: jnp.ndarray, rate: float, hop_length: int, window_length: int
+) -> jnp.ndarray:
+    """Stretch ``(..., F, T)`` complex STFT frames by ``rate``.
+
+    ``rate > 1`` speeds up (fewer output frames). Phase propagation is the
+    classic Flanagan/Laroche algorithm, vectorized: per-step phase
+    deviations are computed with gathers and integrated with one cumsum.
+    """
+    F_bins, T = stft_data.shape[-2], stft_data.shape[-1]
+    n_steps = int(np.ceil(T / rate))
+    steps = np.arange(n_steps) * rate
+    i0 = np.minimum(np.floor(steps).astype(np.int32), T - 1)
+    i1 = np.minimum(i0 + 1, T - 1)
+    frac = (steps - i0).astype(np.float32)
+
+    mag = jnp.abs(stft_data)
+    phase = jnp.angle(stft_data)
+
+    mag_t = (1.0 - frac) * mag[..., i0] + frac * mag[..., i1]
+
+    # expected phase advance per hop, per bin
+    phi_advance = (
+        2.0 * np.pi * hop_length * np.arange(F_bins, dtype=np.float32) / window_length
+    )[:, None]
+
+    dphase = phase[..., i1] - phase[..., i0] - phi_advance
+    dphase = dphase - 2.0 * np.pi * jnp.round(dphase / (2.0 * np.pi))
+    step_advance = phi_advance + dphase  # (..., F, n_steps)
+
+    # integrated phase: start at the first frame's phase, then accumulate
+    acc = jnp.cumsum(step_advance, axis=-1)
+    phase_out = phase[..., i0[:1]] + jnp.concatenate(
+        [jnp.zeros_like(acc[..., :1]), acc[..., :-1]], axis=-1
+    )
+
+    return mag_t * jnp.exp(1j * phase_out)
+
+
+def time_stretch(
+    audio: jnp.ndarray,
+    factor: float,
+    window_length: int = 2048,
+    hop_length: int = None,
+) -> jnp.ndarray:
+    """Stretch ``(..., T)`` audio in time by ``factor`` (sox ``tempo``
+    semantics: factor > 1 is faster/shorter). Output length is
+    ``round(T / factor)``."""
+    if hop_length is None:
+        hop_length = window_length // 4
+    T = audio.shape[-1]
+    out_len = int(round(T / factor))
+    spec = _fft.stft(audio, window_length, hop_length, "hann")
+    stretched = phase_vocoder(spec, factor, hop_length, window_length)
+    return _fft.istft(
+        stretched, window_length, hop_length, "hann", length=out_len
+    )
+
+
+def pitch_shift(
+    audio: jnp.ndarray,
+    n_semitones: float,
+    sample_rate: int,
+    window_length: int = 2048,
+    hop_length: int = None,
+) -> jnp.ndarray:
+    """Shift pitch by ``n_semitones`` keeping duration (sox ``pitch``
+    semantics). Stretch by ``2**(-n/12)`` then resample back."""
+    T = audio.shape[-1]
+    rate = 2.0 ** (-float(n_semitones) / 12.0)
+    stretched = time_stretch(audio, rate, window_length, hop_length)
+    # resample from sample_rate/rate to sample_rate with a rational approx
+    frac = Fraction(rate).limit_denominator(1000)
+    old_sr, new_sr = frac.denominator, frac.numerator
+    out = _resample.resample(stretched, old_sr, new_sr)
+    if out.shape[-1] < T:
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, T - out.shape[-1])])
+    return out[..., :T]

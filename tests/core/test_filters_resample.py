@@ -1,0 +1,155 @@
+"""Filter-bank and resampler tests (analytic/property style, mirroring
+reference tests/core/test_dsp.py and julius's own invariants)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.signal import lfilter
+
+from audiotools_tpu.ops import filters as FL
+from audiotools_tpu.ops import resample as R
+
+
+def test_lowpass_kills_stopband():
+    """Sine at 2x the cutoff is strongly attenuated in the interior
+    (reference tests/core/test_dsp.py:76-97)."""
+    sr = 44100
+    sig = np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)[None, None]
+    out = np.asarray(FL.low_pass(jnp.asarray(sig), 220.0, sr, zeros=51))
+    w = 12000
+    assert np.abs(out[..., w:-w]).max() < 1e-3
+
+
+def test_lowpass_passes_passband():
+    sr = 44100
+    sig = np.sin(2 * np.pi * 220 * np.arange(sr) / sr).astype(np.float32)[None, None]
+    out = np.asarray(FL.low_pass(jnp.asarray(sig), 4000.0, sr, zeros=51))
+    assert np.abs(out - sig)[..., 500:-500].max() < 1e-4
+
+
+def test_highpass_is_complement():
+    sr = 44100
+    x = np.random.RandomState(0).randn(2, 1, 16384).astype(np.float32)
+    lp = np.asarray(FL.low_pass(jnp.asarray(x), 2000.0, sr))
+    hp = np.asarray(FL.high_pass(jnp.asarray(x), 2000.0, sr))
+    assert np.abs(lp + hp - x).max() < 1e-5
+
+
+def test_per_item_cutoffs():
+    """Each batch item gets its own filter (the reference loops per item,
+    dsp.py:177-179; we vmap) — results must match per-item application."""
+    sr = 44100
+    x = np.random.RandomState(1).randn(3, 1, 8192).astype(np.float32)
+    cutoffs = np.array([1000.0, 4000.0, 8000.0], dtype=np.float32)
+    batched = np.asarray(FL.low_pass(jnp.asarray(x), jnp.asarray(cutoffs), sr))
+    for i, c in enumerate(cutoffs):
+        single = np.asarray(FL.low_pass(jnp.asarray(x[i : i + 1]), float(c), sr))
+        assert np.abs(batched[i] - single[0]).max() < 1e-5
+
+
+def test_split_bands_partition_of_unity():
+    """Bands sum exactly to the input (reference
+    tests/core/test_effects.py:184-201)."""
+    x = np.random.RandomState(1).randn(2, 1, 8192).astype(np.float32)
+    for n_bands in [1, 3, 6]:
+        bands = np.asarray(FL.split_bands(jnp.asarray(x), 44100, n_bands))
+        assert bands.shape == (2, 1, 8192, n_bands)
+        assert np.abs(bands.sum(-1) - x).max() < 1e-5
+
+
+def test_equalizer_zero_db_identity():
+    x = np.random.RandomState(2).randn(2, 1, 8192).astype(np.float32)
+    out = np.asarray(FL.equalizer(jnp.asarray(x), np.zeros((2, 6), np.float32), 44100))
+    assert np.abs(out - x).max() < 1e-5
+
+
+def test_equalizer_gain_scales_band():
+    """-80 dB on every band silences the signal; 0 dB passes it."""
+    x = np.random.RandomState(3).randn(1, 1, 8192).astype(np.float32)
+    out = np.asarray(
+        FL.equalizer(jnp.asarray(x), np.full((1, 6), -80.0, np.float32), 44100)
+    )
+    assert np.abs(out).max() < 1e-4
+
+
+def test_biquad_matches_scipy():
+    b = np.array([0.2, 0.3, 0.1])
+    a = np.array([1.0, -0.5, 0.25])
+    x = np.random.RandomState(4).randn(3, 4096).astype(np.float32)
+    y = np.asarray(FL.biquad(jnp.asarray(x), jnp.asarray(b), jnp.asarray(a)))
+    y_ref = lfilter(b, a, x, axis=-1)
+    assert np.abs(y - y_ref).max() < 1e-4
+
+
+def test_fft_conv_matches_direct():
+    x = np.random.RandomState(5).randn(2, 1, 1024).astype(np.float32)
+    k = np.random.RandomState(6).randn(1, 33).astype(np.float32)
+    out = np.asarray(FL.fft_conv1d(jnp.asarray(x), jnp.asarray(k)))
+    ref = np.stack(
+        [
+            [np.correlate(x[i, 0], k[0], mode="valid")]
+            for i in range(2)
+        ]
+    )
+    assert np.abs(out[:, :, 0] - ref[:, 0][:, None]).max() < 1e-4
+
+
+def test_preemphasis_matches_reference_kernel():
+    import torch
+
+    x = np.random.RandomState(7).randn(2, 1, 4096).astype(np.float32)
+    out = np.asarray(FL.preemphasis(jnp.asarray(x), 0.85))
+    k = torch.tensor([1.0, -0.85, 0.0]).view(1, 1, -1)
+    ref = (
+        torch.nn.functional.conv1d(torch.from_numpy(x).reshape(-1, 1, 4096), k, padding=1)
+        .numpy()
+        .reshape(2, 1, 4096)
+    )
+    assert np.abs(out - ref).max() < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# resampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("old,new", [(44100, 16000), (44100, 22050), (16000, 44100), (22050, 44100)])
+def test_resample_length(old, new):
+    x = np.random.RandomState(8).randn(1, 1, old).astype(np.float32)
+    y = R.resample(jnp.asarray(x), old, new)
+    assert y.shape[-1] == int(old * new / old)
+
+
+def test_resample_preserves_sine():
+    old, new = 44100, 16000
+    x = np.sin(2 * np.pi * 440 * np.arange(old) / old).astype(np.float32)[None, None]
+    y = np.asarray(R.resample(jnp.asarray(x), old, new))
+    ideal = np.sin(2 * np.pi * 440 * np.arange(y.shape[-1]) / new)
+    assert np.abs(y[0, 0, 100:-100] - ideal[100:-100]).max() < 1e-3
+
+
+def test_resample_preserves_dc():
+    dc = np.ones((1, 1, 44100), np.float32)
+    y = np.asarray(R.resample(jnp.asarray(dc), 44100, 16000))
+    assert np.abs(y[..., 100:-100] - 1).max() < 1e-4
+
+
+def test_resample_roundtrip():
+    x = np.sin(2 * np.pi * 440 * np.arange(44100) / 44100).astype(np.float32)[None, None]
+    y = R.resample(R.resample(jnp.asarray(x), 44100, 22050), 22050, 44100)
+    y = np.asarray(y)
+    assert np.abs(y[..., 200:-200] - x[..., : y.shape[-1]][..., 200:-200]).max() < 1e-3
+
+
+def test_resample_antialiases():
+    """Content above the target Nyquist must be removed."""
+    old, new = 44100, 16000
+    t = np.arange(old) / old
+    x = np.sin(2 * np.pi * 10000 * t).astype(np.float32)[None, None]  # > 8k Nyquist
+    y = np.asarray(R.resample(jnp.asarray(x), old, new))
+    assert np.abs(y[..., 200:-200]).max() < 0.05
+
+
+def test_identity_resample():
+    x = np.random.RandomState(9).randn(1, 1, 1000).astype(np.float32)
+    y = R.resample(jnp.asarray(x), 44100, 44100)
+    assert y is not None and np.abs(np.asarray(y) - x).max() == 0

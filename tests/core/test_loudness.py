@@ -1,0 +1,140 @@
+"""BS.1770 loudness tests.
+
+The reference validates against the committed ITU compliance WAVs
+(tests/core/test_loudness.py:56-233); those files are git-lfs stubs here,
+so compliance signals are synthesized: the coefficient design is checked
+against the spec's published 48 kHz table, and sine/gating signals are
+generated at analytically-known levels.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.signal import freqz
+
+from audiotools_tpu import AudioSignal, Meter
+from audiotools_tpu.ops import loudness as L
+
+ATOL = 1e-1
+
+
+def test_k_weighting_matches_bs1770_table():
+    """Published BS.1770-4 filter coefficients at 48 kHz."""
+    (b1, a1), (b2, a2) = L.k_weighting_coefficients(48000)
+    assert np.allclose(
+        b1, [1.53512485958697, -2.69169618940638, 1.19839281085285], atol=1e-4
+    )
+    assert np.allclose(a1, [1.0, -1.69065929318241, 0.73248077421585], atol=1e-4)
+    assert np.allclose(b2, [1.0, -2.0, 1.0], atol=1e-6)
+    assert np.allclose(a2, [1.0, -1.99004745483398, 0.99007225036621], atol=1e-6)
+
+
+def _weighting_gain_db(freq, rate):
+    total = 1.0
+    for b, a in L.k_weighting_coefficients(rate):
+        w, h = freqz(b, a, worN=[freq], fs=rate)
+        total *= np.abs(h[0])
+    return 20 * np.log10(total)
+
+
+@pytest.mark.parametrize("rate", [48000, 44100, 32000])
+@pytest.mark.parametrize("freq", [100.0, 500.0, 1000.0, 2000.0, 10000.0])
+@pytest.mark.parametrize("target", [-24.0, -23.0])
+def test_compliance_sines(rate, freq, target):
+    """Stereo sine whose amplitude is set (via the analytic filter
+    response) so the meter must read `target` LKFS — the synthesized
+    equivalent of the 1770-2 Comp *LKFS*Hz_2ch compliance files."""
+    gain_db = _weighting_gain_db(freq, rate)
+    # L = -0.691 + 10log10(2 z |H|^2): solve for the per-channel level,
+    # stereo sum of two channels contributes +3.0103 dB
+    level_dbfs = target + 0.691 - gain_db - 10 * np.log10(2)
+    amp = 10 ** (level_dbfs / 20) * np.sqrt(2)
+    t = np.arange(int(rate * 5)) / rate
+    x = (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    data = np.stack([x, x], -1)[None]
+    meter = Meter(rate)
+    out = float(meter.integrated_loudness(jnp.asarray(data)))
+    assert abs(out - target) < ATOL
+
+
+def test_rel_gate():
+    """Blocks more than 10 LU below the ungated mean must be excluded
+    (eq. 6-7; synthesized analog of 1770-2_Comp_RelGateTest)."""
+    rate = 48000
+    t = np.arange(rate * 10) / rate
+    loud = np.sin(2 * np.pi * 997 * t[: rate * 5]) * 10 ** (-10 / 20) * np.sqrt(2)
+    quiet = np.sin(2 * np.pi * 997 * t[: rate * 5]) * 10 ** (-45 / 20) * np.sqrt(2)
+    x = np.concatenate([loud, quiet]).astype(np.float32)
+    out = float(Meter(rate).integrated_loudness(x[None, :, None]))
+    # K-weighting at 997 Hz ~ +0.691 dB cancels the -0.691 offset
+    assert abs(out - (-10.0)) < 0.15
+
+
+def test_abs_gate():
+    """Blocks below -70 LKFS are excluded entirely
+    (synthesized analog of 1770-2_Comp_AbsGateTest)."""
+    rate = 48000
+    t = np.arange(rate * 5) / rate
+    loud = np.sin(2 * np.pi * 997 * t) * 10 ** (-30 / 20) * np.sqrt(2)
+    silence = np.zeros(rate * 5)
+    x = np.concatenate([loud, silence]).astype(np.float32)
+    out = float(Meter(rate).integrated_loudness(x[None, :, None]))
+    assert abs(out - (-30.0)) < 0.15
+
+
+def test_fir_vs_exact():
+    """FIR approximation within 1e-2 dB of the exact path (reference
+    tests/core/test_loudness.py:236-263 tolerance)."""
+    np.random.seed(0)
+    array = np.random.randn(4, 2, 16000).astype(np.float32)
+    array /= np.abs(array).max()
+    exact = Meter(16000, use_fir=False)
+    fir = Meter(16000, use_fir=True)
+    data = np.transpose(array, (0, 2, 1))
+    l_exact = np.asarray(exact.integrated_loudness(jnp.asarray(data)))
+    l_fir = np.asarray(fir.integrated_loudness(jnp.asarray(data)))
+    assert np.allclose(l_exact, l_fir, atol=1e-2)
+
+
+def test_batch_matches_single():
+    """Batched loudness equals per-item loudness
+    (reference tests/core/test_loudness.py:31-52)."""
+    np.random.seed(0)
+    array = np.random.randn(16, 2, 16000).astype(np.float32)
+    array /= np.abs(array).max()
+    gains = np.random.rand(array.shape[0])[:, None, None].astype(np.float32)
+    array = array * gains
+
+    meter = Meter(16000)
+    singles = [
+        float(meter.integrated_loudness(jnp.asarray(array[i].T)[None]))
+        for i in range(array.shape[0])
+    ]
+    signal = AudioSignal(array, sample_rate=16000)
+    batched = np.asarray(signal.loudness())
+    assert np.allclose(singles, batched, atol=1e-2)
+
+
+def test_loudness_short_signal():
+    """Signals < 0.5 s are padded (reference loudness.py:303-305)."""
+    sig = AudioSignal(
+        np.random.RandomState(0).randn(1, 1, 11025).astype(np.float32) * 0.1, 44100
+    )
+    out = sig.loudness()
+    assert np.isfinite(np.asarray(out)).all()
+    # the signal itself is unchanged
+    assert sig.signal_length == 11025
+
+
+def test_loudness_cache_and_floor():
+    sig = AudioSignal.zeros(1.0, 44100)
+    out = np.asarray(sig.loudness())
+    assert (out == L.MIN_LOUDNESS).all()
+    # cached value is reused
+    assert sig._loudness is not None
+
+
+def test_filter_classes_exist():
+    for fc in ["K-weighting", "Fenton/Lee 1", "Fenton/Lee 2", "Dash et al."]:
+        m = Meter(44100, filter_class=fc)
+        x = np.random.RandomState(0).randn(1, 16000, 1).astype(np.float32) * 0.1
+        assert np.isfinite(float(m.integrated_loudness(jnp.asarray(x))))
