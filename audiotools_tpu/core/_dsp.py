@@ -173,8 +173,15 @@ class DSPMixin:
 
     def shift_phase(self, shift):
         """Constant phase shift (reference dsp.py:336-352)."""
-        shift = util.ensure_tensor(shift, ndim=self.phase.ndim)
-        self.phase = self.phase + shift
+        phase = self.phase
+        shift = util.ensure_tensor(shift)
+        if shift.ndim == phase.ndim - 1 and shift.shape == phase.shape[1:]:
+            # a full per-item (C, F, T) correction (CorruptPhase single
+            # instantiation): broadcast over the batch dim
+            shift = shift[None, ...]
+        else:
+            shift = util.ensure_tensor(shift, ndim=phase.ndim)
+        self.phase = phase + shift
         return self
 
     def corrupt_phase(self, scale, key=None):

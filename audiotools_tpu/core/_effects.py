@@ -61,32 +61,43 @@ class EffectMixin:
         else:
             other.truncate_samples(self.signal_length)
 
-        if start_at_max:
-            # Roll every item over its max so IRs don't induce delay.
-            data = other.audio_data
-            T = data.shape[-1]
-            idx = jnp.argmax(jnp.abs(data), axis=-1)  # (B, C)
-            shift = idx.max(axis=1) if idx.ndim > 1 else idx  # (B,)
-            pos = (np.arange(T)[None, :] + shift[:, None]) % T  # (B, T)
-            irs = jnp.take_along_axis(data, pos[:, None, :].astype(jnp.int32), axis=-1)
-            other = AudioSignal(irs, other.sample_rate)
-
-        delta = jnp.zeros_like(other.audio_data)
-        delta = delta.at[..., 0].set(1)
-
         length = self.signal_length
-        delta_fft = jnp.fft.rfft(delta, n=length)
-        other_fft = jnp.fft.rfft(other.audio_data, n=length)
-        self_fft = jnp.fft.rfft(self.audio_data, n=length)
+        ir = other.audio_data
 
-        convolved_fft = other_fft * self_fft
-        convolved_audio = jnp.fft.irfft(convolved_fft, n=length)
+        if start_at_max:
+            # Roll every item over its max so IRs don't induce delay
+            # (reference effects.py:92-100 does a per-item torch.roll).
+            # Implemented as a batched dynamic slice on a doubled array —
+            # a per-element time gather would lower to a T x T one-hot
+            # matmul on TPU.
+            idx = jnp.argmax(jnp.abs(ir), axis=-1)  # (B, C)
+            shift = idx.max(axis=1) if idx.ndim > 1 else idx  # (B,)
+            doubled = jnp.concatenate([ir, ir], axis=-1)
 
-        delta_convolved_fft = other_fft * delta_fft
-        delta_audio = jnp.fft.irfft(delta_convolved_fft, n=length)
+            def roll_one(d, s):
+                return jax.lax.dynamic_slice_in_dim(d, s, length, axis=-1)
 
-        # Use the delta to rescale the audio exactly as needed.
-        delta_max = jnp.max(jnp.abs(delta_audio), axis=-1, keepdims=True)
+            ir = jax.vmap(roll_one)(doubled, shift)
+
+        # The reference computes a circular convolution of period `length`
+        # via rfft(n=length) (effects.py:105-114). Arbitrary-length FFTs
+        # lower to an O(T^2) DFT matmul on TPU, so instead: linear conv at
+        # the next power of two, folded back mod `length` — numerically
+        # identical to the length-L circular convolution.
+        n = 1 << (2 * length - 1).bit_length()
+        ir_fft = jnp.fft.rfft(ir, n=n)
+        self_fft = jnp.fft.rfft(self.audio_data, n=n)
+        lin = jnp.fft.irfft(ir_fft * self_fft, n=n)
+        convolved_audio = lin[..., :length]
+        convolved_audio = convolved_audio.at[..., : length - 1].add(
+            lin[..., length : 2 * length - 1]
+        )
+
+        # The reference rescales by the peak of (delta * ir) — the circular
+        # convolution of a unit delta with the rolled IR is the rolled IR
+        # itself, so the delta FFT pass collapses to the IR's peak
+        # (effects.py:102-119).
+        delta_max = jnp.max(jnp.abs(ir), axis=-1, keepdims=True)
         scale = 1 / jnp.maximum(delta_max, 1e-5)
         convolved_audio = convolved_audio * scale
 

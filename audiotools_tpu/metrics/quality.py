@@ -1,0 +1,210 @@
+"""Quality metrics (mirror of
+`/root/reference/audiotools/metrics/quality.py`).
+
+STOI is implemented natively (the reference wraps ``pystoi``, which is not
+available here); PESQ and ViSQOL require external C/C++ libraries and are
+exposed as gated wrappers that use them when installed.
+"""
+import os
+
+import numpy as np
+
+from ..core import AudioSignal
+
+__all__ = ["stoi", "pesq", "visqol"]
+
+# --- native STOI (Taal et al. 2010/2011) -----------------------------------
+
+_FS = 10000
+_N_FRAME = 256
+_NFFT = 512
+_NUMBAND = 15
+_MINFREQ = 150
+_N = 30
+_BETA = -15.0
+_DYN_RANGE = 40.0
+
+
+def _thirdoct(fs, nfft, num_bands, min_freq):
+    f = np.linspace(0, fs, nfft + 1)[: nfft // 2 + 1]
+    k = np.arange(num_bands)
+    cf = 2.0 ** (k / 3.0) * min_freq
+    freq_low = min_freq * 2.0 ** ((2 * k - 1) / 6.0)
+    freq_high = min_freq * 2.0 ** ((2 * k + 1) / 6.0)
+    obm = np.zeros((num_bands, len(f)))
+    for i in range(num_bands):
+        lo = np.argmin((f - freq_low[i]) ** 2)
+        hi = np.argmin((f - freq_high[i]) ** 2)
+        obm[i, lo:hi] = 1
+    return obm, cf
+
+
+def _stft_frames(x):
+    w = np.hanning(_N_FRAME + 2)[1:-1]
+    n = 1 + (len(x) - _N_FRAME) // (_N_FRAME // 2)
+    frames = np.stack(
+        [x[i * (_N_FRAME // 2) : i * (_N_FRAME // 2) + _N_FRAME] for i in range(n)]
+    )
+    return np.fft.rfft(frames * w, n=_NFFT)
+
+
+def _remove_silent(x, y):
+    w = np.hanning(_N_FRAME + 2)[1:-1]
+    hop = _N_FRAME // 2
+    n = 1 + (len(x) - _N_FRAME) // hop
+    xf = np.stack([x[i * hop : i * hop + _N_FRAME] * w for i in range(n)])
+    yf = np.stack([y[i * hop : i * hop + _N_FRAME] * w for i in range(n)])
+    energies = 20 * np.log10(np.linalg.norm(xf, axis=1) + 1e-12)
+    mask = energies > energies.max() - _DYN_RANGE
+    xf, yf = xf[mask], yf[mask]
+    # overlap-add back
+    out_len = (len(xf) - 1) * hop + _N_FRAME if len(xf) else 0
+    xs = np.zeros(out_len)
+    ys = np.zeros(out_len)
+    for i in range(len(xf)):
+        xs[i * hop : i * hop + _N_FRAME] += xf[i]
+        ys[i * hop : i * hop + _N_FRAME] += yf[i]
+    return xs, ys
+
+
+def _stoi_single(x, y, extended=False):
+    obm, _ = _thirdoct(_FS, _NFFT, _NUMBAND, _MINFREQ)
+    x, y = _remove_silent(x, y)
+    if len(x) < _N_FRAME * _N:
+        return np.nan
+    X = np.sqrt(np.maximum(obm @ (np.abs(_stft_frames(x).T) ** 2), 1e-15))
+    Y = np.sqrt(np.maximum(obm @ (np.abs(_stft_frames(y).T) ** 2), 1e-15))
+
+    corrs = []
+    for m in range(_N, X.shape[1] + 1):
+        Xs = X[:, m - _N : m]
+        Ys = Y[:, m - _N : m]
+        if extended:
+            Xn = (Xs - Xs.mean(axis=1, keepdims=True)) / (
+                np.linalg.norm(Xs - Xs.mean(axis=1, keepdims=True), axis=1, keepdims=True) + 1e-12
+            )
+            Yn = (Ys - Ys.mean(axis=1, keepdims=True)) / (
+                np.linalg.norm(Ys - Ys.mean(axis=1, keepdims=True), axis=1, keepdims=True) + 1e-12
+            )
+            corrs.append((Xn * Yn).sum() / _NUMBAND)
+        else:
+            alpha = np.linalg.norm(Xs, axis=1, keepdims=True) / (
+                np.linalg.norm(Ys, axis=1, keepdims=True) + 1e-12
+            )
+            aY = Ys * alpha
+            aY = np.minimum(aY, Xs * (1 + 10 ** (-_BETA / 20)))
+            xm = Xs - Xs.mean(axis=1, keepdims=True)
+            ym = aY - aY.mean(axis=1, keepdims=True)
+            num = (xm * ym).sum(axis=1)
+            den = np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1) + 1e-12
+            corrs.append((num / den).mean())
+    return float(np.mean(corrs))
+
+
+def stoi(
+    estimates: AudioSignal,
+    references: AudioSignal,
+    extended: bool = False,
+):
+    """Short-term objective intelligibility (reference quality.py:9-61).
+
+    Native implementation of Taal et al.'s STOI; returns one score per
+    batch item.
+    """
+    import jax.numpy as jnp
+
+    estimates = estimates.clone().to_mono().resample(_FS)
+    references = references.clone().to_mono().resample(_FS)
+
+    stois = []
+    for i in range(estimates.batch_size):
+        _stoi = _stoi_single(
+            np.asarray(references.audio_data[i, 0], dtype=np.float64),
+            np.asarray(estimates.audio_data[i, 0], dtype=np.float64),
+            extended=extended,
+        )
+        stois.append(_stoi)
+    return jnp.asarray(np.array(stois))
+
+
+def pesq(
+    estimates: AudioSignal,
+    references: AudioSignal,
+    mode: str = "wb",
+    target_sr: float = 16000,
+):
+    """PESQ (P.862.2 MOS-LQO) via the ``pesq`` C extension when installed
+    (reference quality.py:64-102)."""
+    try:
+        from pesq import pesq as pesq_fn
+    except ImportError as e:
+        raise RuntimeError(
+            "PESQ requires the `pesq` C extension, which is not installed "
+            "in this environment."
+        ) from e
+
+    import jax.numpy as jnp
+
+    estimates = estimates.clone().to_mono().resample(target_sr)
+    references = references.clone().to_mono().resample(target_sr)
+
+    pesqs = []
+    for i in range(estimates.batch_size):
+        _pesq = pesq_fn(
+            estimates.sample_rate,
+            np.asarray(references.audio_data[i, 0]),
+            np.asarray(estimates.audio_data[i, 0]),
+            mode,
+        )
+        pesqs.append(_pesq)
+    return jnp.asarray(np.array(pesqs))
+
+
+def visqol(
+    estimates: AudioSignal,
+    references: AudioSignal,
+    mode: str = "audio",
+):
+    """ViSQOL MOS-LQO via Google's C++ library when installed
+    (reference quality.py:105-159)."""
+    try:
+        from visqol import visqol_lib_py
+        from visqol.pb2 import visqol_config_pb2
+    except ImportError as e:
+        raise RuntimeError(
+            "ViSQOL requires google/visqol, which is not installed in this "
+            "environment."
+        ) from e
+
+    import jax.numpy as jnp
+
+    config = visqol_config_pb2.VisqolConfig()
+    if mode == "audio":
+        target_sr = 48000
+        config.options.use_speech_scoring = False
+        svr_model_path = "libsvm_nu_svr_model.txt"
+    elif mode == "speech":
+        target_sr = 16000
+        config.options.use_speech_scoring = True
+        svr_model_path = "lattice_tcditugenmeetpackhref_ls2_nl60_lr12_bs2048_learn.005_ep2400_train1_7_raw.tflite"
+    else:
+        raise ValueError(f"Unrecognized mode: {mode}")
+    config.audio.sample_rate = target_sr
+    config.options.svr_model_path = os.path.join(
+        os.path.dirname(visqol_lib_py.__file__), "model", svr_model_path
+    )
+
+    api = visqol_lib_py.VisqolApi()
+    api.Create(config)
+
+    estimates = estimates.clone().to_mono().resample(target_sr)
+    references = references.clone().to_mono().resample(target_sr)
+
+    visqols = []
+    for i in range(estimates.batch_size):
+        _visqol = api.Measure(
+            np.asarray(references.audio_data[i, 0]).astype(float),
+            np.asarray(estimates.audio_data[i, 0]).astype(float),
+        )
+        visqols.append(_visqol.moslqo)
+    return jnp.asarray(np.array(visqols))

@@ -1,0 +1,159 @@
+"""Spectral losses (mirror of
+`/root/reference/audiotools/metrics/spectral.py`).
+
+Each loss is a callable over AudioSignals; the whole multi-scale stack is
+pure jittable compute (framed FFTs + MXU mel projections), so a full loss
+evaluation fuses into one XLA program.
+"""
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import AudioSignal, STFTParams
+from .distance import l1_loss
+
+__all__ = ["MultiScaleSTFTLoss", "MelSpectrogramLoss", "PhaseLoss", "GANLoss"]
+
+
+class MultiScaleSTFTLoss:
+    """DDSP-style multi-scale STFT loss (reference spectral.py:11-95)."""
+
+    def __init__(
+        self,
+        window_lengths: List[int] = [2048, 512],
+        loss_fn=l1_loss,
+        clamp_eps: float = 1e-5,
+        mag_weight: float = 1.0,
+        log_weight: float = 1.0,
+        pow: float = 2.0,
+        weight: float = 1.0,
+        match_stride: bool = False,
+        window_type: str = None,
+    ):
+        self.stft_params = [
+            STFTParams(
+                window_length=w,
+                hop_length=w // 4,
+                match_stride=match_stride,
+                window_type=window_type,
+            )
+            for w in window_lengths
+        ]
+        self.loss_fn = loss_fn
+        self.log_weight = log_weight
+        self.mag_weight = mag_weight
+        self.clamp_eps = clamp_eps
+        self.weight = weight
+        self.pow = pow
+
+    def __call__(self, x: AudioSignal, y: AudioSignal):
+        loss = 0.0
+        for s in self.stft_params:
+            x.stft(s.window_length, s.hop_length, s.window_type)
+            y.stft(s.window_length, s.hop_length, s.window_type)
+            loss += self.log_weight * self.loss_fn(
+                jnp.log10(
+                    jnp.maximum(x.magnitude, self.clamp_eps) ** self.pow
+                ),
+                jnp.log10(
+                    jnp.maximum(y.magnitude, self.clamp_eps) ** self.pow
+                ),
+            )
+            loss += self.mag_weight * self.loss_fn(x.magnitude, y.magnitude)
+        return loss
+
+    forward = __call__
+
+
+class MelSpectrogramLoss:
+    """Multi-scale mel distance (reference spectral.py:98-192)."""
+
+    def __init__(
+        self,
+        n_mels: List[int] = [150, 80],
+        window_lengths: List[int] = [2048, 512],
+        loss_fn=l1_loss,
+        clamp_eps: float = 1e-5,
+        mag_weight: float = 1.0,
+        log_weight: float = 1.0,
+        pow: float = 2.0,
+        weight: float = 1.0,
+        match_stride: bool = False,
+        mel_fmin: List[float] = [0.0, 0.0],
+        mel_fmax: List[float] = [None, None],
+        window_type: str = None,
+    ):
+        self.stft_params = [
+            STFTParams(
+                window_length=w,
+                hop_length=w // 4,
+                match_stride=match_stride,
+                window_type=window_type,
+            )
+            for w in window_lengths
+        ]
+        self.n_mels = n_mels
+        self.loss_fn = loss_fn
+        self.clamp_eps = clamp_eps
+        self.log_weight = log_weight
+        self.mag_weight = mag_weight
+        self.weight = weight
+        self.mel_fmin = mel_fmin
+        self.mel_fmax = mel_fmax
+        self.pow = pow
+
+    def __call__(self, x: AudioSignal, y: AudioSignal):
+        loss = 0.0
+        for n_mels, fmin, fmax, s in zip(
+            self.n_mels, self.mel_fmin, self.mel_fmax, self.stft_params
+        ):
+            kwargs = {
+                "window_length": s.window_length,
+                "hop_length": s.hop_length,
+                "window_type": s.window_type,
+            }
+            x_mels = x.mel_spectrogram(n_mels, mel_fmin=fmin, mel_fmax=fmax, **kwargs)
+            y_mels = y.mel_spectrogram(n_mels, mel_fmin=fmin, mel_fmax=fmax, **kwargs)
+
+            loss += self.log_weight * self.loss_fn(
+                jnp.log10(jnp.maximum(x_mels, self.clamp_eps) ** self.pow),
+                jnp.log10(jnp.maximum(y_mels, self.clamp_eps) ** self.pow),
+            )
+            loss += self.mag_weight * self.loss_fn(x_mels, y_mels)
+        return loss
+
+    forward = __call__
+
+
+class PhaseLoss:
+    """Magnitude-weighted circular phase difference
+    (reference spectral.py:195-247)."""
+
+    def __init__(
+        self, window_length: int = 2048, hop_length: int = 512, weight: float = 1.0
+    ):
+        self.weight = weight
+        self.stft_params = STFTParams(window_length, hop_length)
+
+    def __call__(self, x: AudioSignal, y: AudioSignal):
+        s = self.stft_params
+        x.stft(s.window_length, s.hop_length, s.window_type)
+        y.stft(s.window_length, s.hop_length, s.window_type)
+
+        # circular difference (reference applies the wrap with in-place
+        # masked adds, spectral.py:239-241 — including its quirk of
+        # subtracting -2pi, i.e. adding, on the > pi branch)
+        diff = x.phase - y.phase
+        diff = jnp.where(diff < -np.pi, diff + 2 * np.pi, diff)
+        diff = jnp.where(diff > np.pi, diff + 2 * np.pi, diff)
+
+        # scale true magnitude to weights in [0, 1]
+        x_mag = x.magnitude
+        x_min, x_max = x_mag.min(), x_mag.max()
+        weights = (x_mag - x_min) / (x_max - x_min)
+
+        loss = ((weights * diff) ** 2).mean()
+        return loss
+
+    forward = __call__

@@ -1,0 +1,264 @@
+"""Transform framework + zoo tests (mirroring reference
+tests/data/test_transforms.py: batch-vs-single consistency, determinism,
+masked application, meta-transforms)."""
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import audiotools_tpu
+from audiotools_tpu import AudioSignal
+from audiotools_tpu.data import transforms as tfm
+from tests.fixtures import speech_like
+
+SEED = 42
+
+# transforms needing loader sources
+LOADER_TFMS = {"BackgroundNoise", "CrossTalk", "RoomImpulseResponse"}
+# transforms skipped from the generic sweep
+SKIP = {
+    "Compose",
+    "Choose",
+    "Repeat",
+    "RepeatUpTo",
+    "BaseTransform",
+    "SpectralTransform",
+    "Identity",
+    "SpectralDenoising",  # covered separately (heavier)
+}
+
+ALL_TFMS = [
+    x
+    for x in dir(tfm)
+    if isinstance(getattr(tfm, x), type)
+    and issubclass(getattr(tfm, x), tfm.BaseTransform)
+    and x not in SKIP
+]
+
+
+def _make_transform(name, audio_dir):
+    cls = getattr(tfm, name)
+    if name == "BackgroundNoise":
+        return cls(sources=[str(audio_dir / "nz.csv")])
+    if name == "CrossTalk":
+        return cls(sources=[str(audio_dir / "spk.csv")])
+    if name == "RoomImpulseResponse":
+        return cls(sources=[str(audio_dir / "ir.csv")])
+    return cls()
+
+
+def _signal(seed=0, dur=2.0):
+    sig = AudioSignal(speech_like(seed, dur)[None, None], 44100)
+    sig.metadata["loudness"] = float(np.asarray(sig.loudness())[0])
+    return sig
+
+
+@pytest.mark.parametrize("name", ALL_TFMS)
+def test_transform_applies_and_is_deterministic(name, audio_dir):
+    transform = _make_transform(name, audio_dir)
+    signal = _signal()
+    kwargs = transform.instantiate(SEED, signal)
+    out1 = transform(signal.clone(), **kwargs)
+    out2 = transform(signal.clone(), **kwargs)
+    # applying the same instantiated args twice is identical
+    # (reference tests/data/test_transforms.py:78-85)
+    assert np.allclose(out1.numpy(), out2.numpy(), atol=1e-6)
+    assert out1.shape == signal.shape
+
+
+@pytest.mark.parametrize("name", ALL_TFMS)
+def test_batch_matches_single(name, audio_dir):
+    """batch_instantiate on seeds [seed..seed+B) reproduces item i of the
+    batched application (reference tests/data/test_transforms.py:66-85)."""
+    batch_size = 4
+    transform = _make_transform(name, audio_dir)
+    signal = _signal()
+    signal_batch = AudioSignal.batch([signal.clone() for _ in range(batch_size)])
+
+    states = [SEED + idx for idx in range(batch_size)]
+    kwargs = transform.batch_instantiate(states, signal)
+    batch_output = transform(signal_batch, **kwargs)
+
+    for i in [0, batch_size - 1]:
+        single_kwargs = transform.instantiate(states[i], signal)
+        single_output = transform(signal.clone(), **single_kwargs)
+        assert np.allclose(
+            np.asarray(batch_output.audio_data[i]),
+            np.asarray(single_output.audio_data[0]),
+            atol=1e-4,
+        ), f"{name} batch item {i} != single"
+
+
+def test_mask_false_is_identity(audio_dir):
+    transform = tfm.VolumeChange(prob=0.0)
+    signal = _signal()
+    kwargs = transform.instantiate(SEED, signal)
+    assert not bool(np.asarray(kwargs["VolumeChange"]["mask"]))
+    out = transform(signal.clone(), **kwargs)
+    assert np.allclose(out.numpy(), signal.numpy())
+
+
+def test_prob_masks_partial_batch():
+    transform = tfm.Silence(prob=0.5)
+    batch_size = 16
+    signal = _signal()
+    batch = AudioSignal.batch([signal.clone() for _ in range(batch_size)])
+    kwargs = transform.batch_instantiate(list(range(batch_size)), signal)
+    mask = np.asarray(kwargs["Silence"]["mask"])
+    assert 0 < mask.sum() < batch_size
+    out = transform(batch, **kwargs)
+    zeroed = np.abs(out.numpy()).max(axis=(1, 2)) == 0
+    assert (zeroed == mask).all()
+
+
+def test_compose(audio_dir):
+    transform = tfm.Compose(
+        [
+            tfm.RoomImpulseResponse(sources=[str(audio_dir / "ir.csv")]),
+            tfm.BackgroundNoise(sources=[str(audio_dir / "nz.csv")]),
+        ],
+    )
+    signal = _signal()
+    kwargs = transform.instantiate(SEED, signal)
+    assert "0.RoomImpulseResponse" in kwargs["Compose"]
+    assert "1.BackgroundNoise" in kwargs["Compose"]
+    out = transform(signal.clone(), **kwargs)
+    assert out.shape == signal.shape
+    assert not np.allclose(out.numpy(), signal.numpy())
+    assert len(transform) == 2
+    assert [t for t in transform][0].name == "0.RoomImpulseResponse"
+    assert transform[0] is transform.transforms[0]
+
+
+def test_compose_filter(audio_dir):
+    preprocess = tfm.Compose(tfm.VolumeChange(("const", -10.0)), name="preprocess")
+    postprocess = tfm.Compose(tfm.RescaleAudio(), name="postprocess")
+    transform = tfm.Compose(preprocess, postprocess)
+    signal = _signal()
+    kwargs = transform.instantiate(SEED, signal)
+
+    with transform.filter("postprocess"):
+        out = transform(signal.clone(), **kwargs)
+    # only rescale ran; no volume change
+    assert np.allclose(out.numpy(), signal.clone().ensure_max_of_audio().numpy(), atol=1e-6)
+
+    full = transform(signal.clone(), **kwargs)
+    assert not np.allclose(full.numpy(), out.numpy())
+
+
+def test_nested_compose(audio_dir):
+    transform = tfm.Compose(
+        tfm.Compose(tfm.VolumeChange(), name="a"),
+        tfm.Compose(tfm.RescaleAudio(), name="b"),
+    )
+    signal = _signal()
+    kwargs = transform.instantiate(SEED, signal)
+    out = transform(signal.clone(), **kwargs)
+    assert out.shape == signal.shape
+
+
+def test_choose_applies_one():
+    transform = tfm.Choose(
+        tfm.VolumeChange(("const", -20.0)), tfm.Silence(prob=1.0)
+    )
+    signal = _signal()
+    picked = set()
+    for seed in range(12):
+        kwargs = transform.instantiate(seed, signal)
+        masks = [
+            bool(np.asarray(kwargs["Choose"][t.name]["mask"]))
+            for t in transform.transforms
+        ]
+        assert sum(masks) <= 1
+        if any(masks):
+            picked.add(masks.index(True))
+        out = transform(signal.clone(), **kwargs)
+    assert picked == {0, 1}  # both children get chosen across seeds
+
+
+def test_choose_weights():
+    transform = tfm.Choose(
+        tfm.VolumeChange(), tfm.Silence(prob=1.0), weights=[1.0, 0.0]
+    )
+    signal = _signal()
+    for seed in range(8):
+        kwargs = transform.instantiate(seed, signal)
+        assert not bool(np.asarray(kwargs["Choose"]["1.Silence"]["mask"]))
+
+
+def test_repeat():
+    transform = tfm.Repeat(tfm.VolumeChange(("const", -3.0)), n_repeat=3)
+    signal = _signal()
+    kwargs = transform.instantiate(SEED, signal)
+    out = transform(signal.clone(), **kwargs)
+    # three applications of -3 dB = -9 dB
+    ratio = np.abs(out.numpy()).max() / np.abs(signal.numpy()).max()
+    assert abs(20 * np.log10(ratio) + 9.0) < 0.1
+
+
+def test_repeat_up_to():
+    transform = tfm.RepeatUpTo(tfm.VolumeChange(("const", -3.0)), max_repeat=4)
+    signal = _signal()
+    kwargs = transform.instantiate(SEED, signal)
+    out = transform(signal.clone(), **kwargs)
+    assert out.shape == signal.shape
+
+
+def test_global_volume_norm_uses_metadata():
+    signal = _signal()
+    signal.metadata["loudness"] = -30.0
+    transform = tfm.GlobalVolumeNorm(db=("const", -24.0))
+    kwargs = transform.instantiate(SEED, signal)
+    assert abs(float(np.asarray(kwargs["GlobalVolumeNorm"]["db"])) - 6.0) < 1e-6
+
+    signal.metadata["loudness"] = float("-inf")
+    kwargs = transform.instantiate(SEED, signal)
+    assert float(np.asarray(kwargs["GlobalVolumeNorm"]["db"])) == 0.0
+
+
+def test_spectral_denoising(audio_dir):
+    transform = tfm.SpectralDenoising()
+    signal = _signal()
+    nz = AudioSignal(
+        (speech_like(7, 2.0) * 0.01 + np.random.RandomState(3).randn(88200) * 0.02)[
+            None, None
+        ].astype(np.float32),
+        44100,
+    )
+    noisy = signal.clone().mix(nz, snr=10)
+    kwargs = transform.instantiate(SEED, noisy)
+    out = transform(noisy.clone(), **kwargs)
+    assert out.shape == signal.shape
+
+
+def test_apply_mask_helper():
+    batch = {"a": jnp.arange(4.0), "nested": {"b": jnp.ones((4, 2))}}
+    mask = np.array([True, False, True, False])
+    out = tfm.BaseTransform.apply_mask(batch, mask)
+    assert out["a"].shape == (2,)
+    assert out["nested"]["b"].shape == (2, 2)
+
+
+def test_transform_chain_jits(audio_dir):
+    """An entire Compose chain compiles to one jitted program over
+    (signal, kwargs) pytrees — the core TPU design point."""
+    import jax
+
+    transform = tfm.Compose(
+        tfm.RoomImpulseResponse(sources=[str(audio_dir / "ir.csv")]),
+        tfm.BackgroundNoise(sources=[str(audio_dir / "nz.csv")]),
+        tfm.VolumeNorm(),
+    )
+    signal = _signal()
+    batch = AudioSignal.batch([signal.clone() for _ in range(4)])
+    kwargs = transform.batch_instantiate(list(range(4)), signal)
+
+    @jax.jit
+    def apply(sig, kw):
+        return transform(sig, **kw)
+
+    out1 = apply(batch, kwargs)
+    out0 = transform(batch.clone(), **kwargs)
+    assert np.allclose(out1.numpy(), out0.numpy(), atol=1e-4)

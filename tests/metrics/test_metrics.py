@@ -1,0 +1,139 @@
+"""Loss/metric tests (mirroring reference tests/metrics/)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiotools_tpu import AudioSignal, metrics
+from tests.fixtures import speech_like
+
+
+def _pair(snr_db=20.0, dur=2.0):
+    clean = AudioSignal(speech_like(0, dur)[None, None], 44100)
+    noise = np.random.RandomState(1).randn(1, 1, clean.signal_length).astype(
+        np.float32
+    )
+    scale = 10 ** (-snr_db / 20) * np.abs(clean.numpy()).std() / noise.std()
+    noisy = AudioSignal(clean.numpy() + noise * scale, 44100)
+    return noisy, clean
+
+
+def test_l1_loss():
+    x, y = _pair()
+    loss = metrics.distance.L1Loss()
+    v = float(loss(x, y))
+    assert v > 0
+    assert float(loss(y, y)) == 0.0
+    # arbitrary attribute
+    loss2 = metrics.distance.L1Loss(attribute="magnitude")
+    assert float(loss2(x.clone(), y.clone())) > 0
+    # raw arrays
+    assert float(loss(x.audio_data, y.audio_data)) == v
+
+
+def test_sisdr_loss_ordering():
+    loss = metrics.distance.SISDRLoss()
+    x20, y = _pair(20.0)
+    x5, _ = _pair(5.0)
+    v_clean = float(loss(y, y.clone()))
+    v20 = float(loss(y, x20))
+    v5 = float(loss(y, x5))
+    # cleaner estimate -> lower (more negative) loss
+    assert v_clean < v20 < v5
+
+
+def test_sisdr_options():
+    x, y = _pair()
+    for scaling in [True, False]:
+        for zero_mean in [True, False]:
+            loss = metrics.distance.SISDRLoss(scaling=scaling, zero_mean=zero_mean)
+            assert np.isfinite(float(loss(y, x)))
+    loss = metrics.distance.SISDRLoss(clip_min=-10)
+    assert float(loss(y, y.clone())) >= -10
+    loss = metrics.distance.SISDRLoss(reduction="sum")
+    batch = AudioSignal(
+        np.stack([speech_like(i, 1.0) for i in range(3)])[:, None], 44100
+    )
+    assert np.isfinite(float(loss(batch, batch.clone() + 0.01)))
+    loss_none = metrics.distance.SISDRLoss(reduction=None)
+    out = loss_none(batch, batch.clone() + 0.01)
+    assert out.shape[0] == 3
+
+
+def test_multiscale_stft_loss():
+    x, y = _pair()
+    loss = metrics.spectral.MultiScaleSTFTLoss()
+    v = float(loss(x.clone(), y.clone()))
+    assert v > 0
+    assert float(loss(y.clone(), y.clone())) == 0.0
+    # closer signals -> smaller loss
+    x2, _ = _pair(40.0)
+    assert float(loss(x2.clone(), y.clone())) < v
+
+
+def test_mel_loss():
+    x, y = _pair()
+    loss = metrics.spectral.MelSpectrogramLoss()
+    v = float(loss(x.clone(), y.clone()))
+    assert v > 0
+    assert float(loss(y.clone(), y.clone())) == 0.0
+    x2, _ = _pair(40.0)
+    assert float(loss(x2.clone(), y.clone())) < v
+
+
+def test_phase_loss():
+    x, y = _pair()
+    loss = metrics.spectral.PhaseLoss()
+    v = float(loss(x.clone(), y.clone()))
+    assert v > 0
+    assert float(loss(y.clone(), y.clone())) == 0.0
+
+
+def test_losses_differentiable():
+    """Gradient flows through the loss stack (reference
+    tests/core/test_grad.py analog for losses)."""
+    x, y = _pair()
+
+    def compute(audio):
+        est = AudioSignal(audio, 44100)
+        ref = y.clone()
+        l = metrics.spectral.MelSpectrogramLoss()(est, ref)
+        l += metrics.spectral.MultiScaleSTFTLoss()(est.clone(), ref.clone())
+        l += metrics.distance.SISDRLoss()(ref.clone(), est.clone())
+        return l
+
+    g = jax.grad(compute)(x.audio_data)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_stoi_native():
+    """Native STOI: clean vs clean ~ 1.0; noisier -> lower."""
+    x20, y = _pair(20.0, dur=3.0)
+    x0, _ = _pair(0.0, dur=3.0)
+    s_clean = float(metrics.quality.stoi(y.clone(), y.clone())[0])
+    s20 = float(metrics.quality.stoi(x20, y.clone())[0])
+    s0 = float(metrics.quality.stoi(x0, y.clone())[0])
+    assert s_clean > 0.99
+    assert s_clean >= s20 >= s0
+    assert s0 < 0.97
+
+
+def test_pesq_visqol_gated():
+    x, y = _pair()
+    try:
+        import pesq  # noqa
+        has_pesq = True
+    except ImportError:
+        has_pesq = False
+    if not has_pesq:
+        with pytest.raises(RuntimeError):
+            metrics.quality.pesq(x, y)
+    try:
+        import visqol  # noqa
+        has_visqol = True
+    except ImportError:
+        has_visqol = False
+    if not has_visqol:
+        with pytest.raises(RuntimeError):
+            metrics.quality.visqol(x, y)
