@@ -1,0 +1,292 @@
+"""DAC-style neural audio codec (the framework's flagship model).
+
+The reference library ships no model code — it is the *toolkit* used to
+train codecs like Descript's DAC (SURVEY.md §2: "no transformer model code
+exists at all"); its north-star benchmark is a DAC-style codec training
+loop (BASELINE.json config 5). This module provides that model natively:
+a convolutional encoder/decoder with Snake activations and residual vector
+quantization, written in flax and designed to shard over a
+``jax.sharding.Mesh`` (batch on the data axis, conv channels on the tensor
+axis — GSPMD inserts the collectives).
+
+Architecture follows the published DAC recipe (encoder rates [2,4,8,8],
+dilated residual units, factorized 8-d codebook lookups with L2-normalized
+codes, straight-through estimation), implemented from scratch in JAX.
+"""
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ml.layers.base import BaseModel
+
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Snake activation: ``x + sin^2(alpha x)/alpha`` (periodic inductive
+    bias for audio)."""
+    return x + (1.0 / (alpha + 1e-9)) * jnp.sin(alpha * x) ** 2
+
+
+class Snake(nn.Module):
+    """Channelwise-parameterized snake activation."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha", lambda key: jnp.ones((1, 1, self.channels), jnp.float32)
+        )
+        return snake(x, alpha)
+
+
+class ResidualUnit(nn.Module):
+    """Dilated residual unit: snake -> dilated conv(7) -> snake -> conv(1)."""
+
+    dim: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = Snake(self.dim)(x)
+        y = nn.Conv(
+            self.dim,
+            kernel_size=(7,),
+            kernel_dilation=(self.dilation,),
+            padding="SAME",
+        )(y)
+        y = Snake(self.dim)(y)
+        # near-zero init on the residual projection keeps the unit close
+        # to identity at init (activation variance doesn't compound
+        # through the stack) while still passing gradients everywhere
+        y = nn.Conv(
+            self.dim,
+            kernel_size=(1,),
+            kernel_init=nn.initializers.normal(1e-2),
+        )(y)
+        return x + y
+
+
+class EncoderBlock(nn.Module):
+    dim: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        for dilation in (1, 3, 9):
+            x = ResidualUnit(self.dim // 2, dilation)(x)
+        x = Snake(self.dim // 2)(x)
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(2 * self.stride,),
+            strides=(self.stride,),
+            padding=((math.ceil(self.stride / 2),) * 2,),
+        )(x)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    dim: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Snake(x.shape[-1])(x)
+        x = nn.ConvTranspose(
+            self.dim,
+            kernel_size=(2 * self.stride,),
+            strides=(self.stride,),
+            padding="SAME",
+        )(x)
+        for dilation in (1, 3, 9):
+            x = ResidualUnit(self.dim, dilation)(x)
+        return x
+
+
+class Encoder(nn.Module):
+    d_model: int = 64
+    strides: Sequence[int] = (2, 4, 8, 8)
+    latent_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, 1)
+        d = self.d_model
+        x = nn.Conv(d, kernel_size=(7,), padding="SAME")(x)
+        for stride in self.strides:
+            d *= 2
+            x = EncoderBlock(d, stride)(x)
+        x = Snake(d)(x)
+        x = nn.Conv(self.latent_dim, kernel_size=(3,), padding="SAME")(x)
+        return x
+
+
+class Decoder(nn.Module):
+    d_model: int = 1024
+    strides: Sequence[int] = (8, 8, 4, 2)
+
+    @nn.compact
+    def __call__(self, z):
+        x = nn.Conv(self.d_model, kernel_size=(7,), padding="SAME")(z)
+        d = self.d_model
+        for stride in self.strides:
+            d //= 2
+            x = DecoderBlock(d, stride)(x)
+        x = Snake(d)(x)
+        x = nn.Conv(1, kernel_size=(7,), padding="SAME")(x)
+        x = jnp.tanh(x)
+        return x
+
+
+class VectorQuantize(nn.Module):
+    """One stage of residual VQ with factorized, L2-normalized codebook
+    lookups and straight-through estimation."""
+
+    input_dim: int
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+
+    @nn.compact
+    def __call__(self, z):
+        # z: (B, T, D)
+        z_e = nn.Dense(self.codebook_dim, name="in_proj")(z)
+        codebook = self.param(
+            "codebook",
+            nn.initializers.normal(1.0),
+            (self.codebook_size, self.codebook_dim),
+        )
+
+        # L2-normalized code lookup
+        z_n = z_e / (jnp.linalg.norm(z_e, axis=-1, keepdims=True) + 1e-8)
+        c_n = codebook / (
+            jnp.linalg.norm(codebook, axis=-1, keepdims=True) + 1e-8
+        )
+        # cosine distance -> argmax of similarity (MXU matmul)
+        sim = jnp.einsum(
+            "btd,kd->btk", z_n, c_n, precision=jax.lax.Precision.HIGHEST
+        )
+        indices = jnp.argmax(sim, axis=-1)  # (B, T)
+        z_q = jnp.take(codebook, indices, axis=0)  # (B, T, cdim)
+
+        commitment_loss = jnp.mean((z_e - jax.lax.stop_gradient(z_q)) ** 2)
+        codebook_loss = jnp.mean((z_q - jax.lax.stop_gradient(z_e)) ** 2)
+
+        # straight-through
+        z_q = z_e + jax.lax.stop_gradient(z_q - z_e)
+        z_q = nn.Dense(self.input_dim, name="out_proj")(z_q)
+        return z_q, indices, commitment_loss, codebook_loss
+
+
+class ResidualVectorQuantize(nn.Module):
+    """Cascade of VQ stages quantizing the residual."""
+
+    input_dim: int = 256
+    n_codebooks: int = 9
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+
+    @nn.compact
+    def __call__(self, z, n_quantizers: int = None):
+        if n_quantizers is None:
+            n_quantizers = self.n_codebooks
+        z_q = jnp.zeros_like(z)
+        residual = z
+        commitment_loss = 0.0
+        codebook_loss = 0.0
+        codes = []
+        for i in range(self.n_codebooks):
+            if i >= n_quantizers:
+                break
+            z_q_i, idx, commit, cb = VectorQuantize(
+                self.input_dim, self.codebook_size, self.codebook_dim,
+                name=f"quantizer_{i}",
+            )(residual)
+            z_q = z_q + z_q_i
+            residual = residual - z_q_i
+            commitment_loss += commit
+            codebook_loss += cb
+            codes.append(idx)
+        codes = jnp.stack(codes, axis=1)  # (B, n_q, T)
+        return z_q, codes, commitment_loss, codebook_loss
+
+
+class DAC(BaseModel):
+    """Descript-style audio codec (encoder + RVQ + decoder).
+
+    Parameters follow the published 44.1 kHz DAC configuration by default;
+    scale ``encoder_dim``/``decoder_dim`` down for toy runs.
+    """
+
+    encoder_dim: int = 64
+    encoder_rates: Tuple[int, ...] = (2, 4, 8, 8)
+    latent_dim: int = 256
+    decoder_dim: int = 1024
+    n_codebooks: int = 9
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+    sample_rate: int = 44100
+
+    @property
+    def hop_length(self):
+        return int(np.prod(self.encoder_rates))
+
+    def setup(self):
+        self.encoder = Encoder(
+            self.encoder_dim, tuple(self.encoder_rates), self.latent_dim
+        )
+        self.quantizer = ResidualVectorQuantize(
+            self.latent_dim, self.n_codebooks, self.codebook_size, self.codebook_dim
+        )
+        self.decoder = Decoder(
+            self.decoder_dim, tuple(reversed(self.encoder_rates))
+        )
+
+    def __call__(self, audio: jnp.ndarray, n_quantizers: int = None):
+        """Full forward pass.
+
+        Parameters
+        ----------
+        audio : (B, 1, T) or (B, T) waveform.
+
+        Returns
+        -------
+        dict with ``audio`` (B, 1, T), ``z``, ``codes``,
+        ``vq/commitment_loss``, ``vq/codebook_loss``.
+        """
+        if audio.ndim == 3:
+            x = jnp.swapaxes(audio, 1, 2)  # (B, T, C)
+        else:
+            x = audio[..., None]
+        T = x.shape[1]
+        # pad to a multiple of the hop length
+        hop = self.hop_length
+        pad = (hop - T % hop) % hop
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+        z = self.encoder(x)
+        z_q, codes, commitment_loss, codebook_loss = self.quantizer(
+            z, n_quantizers
+        )
+        recon = self.decoder(z_q)  # (B, T', 1)
+        recon = jnp.swapaxes(recon, 1, 2)[..., :T]
+
+        return {
+            "audio": recon,
+            "z": z_q,
+            "codes": codes,
+            "vq/commitment_loss": commitment_loss,
+            "vq/codebook_loss": codebook_loss,
+        }
+
+    def encode(self, audio: jnp.ndarray):
+        """Waveform -> quantized latents + codes."""
+        out = self(audio)
+        return out["z"], out["codes"]
+
+    def decode_from_latents(self, z_q: jnp.ndarray):
+        recon = self.decoder(z_q)
+        return jnp.swapaxes(recon, 1, 2)

@@ -1,0 +1,100 @@
+"""Headline benchmark: batch-64 full augmentation chain + feature stack.
+
+Measures the BASELINE.json north-star workload on the attached accelerator:
+a seed-reproducible Compose chain (RoomImpulseResponse + BackgroundNoise +
+Equalizer + VolumeNorm) plus pitch shift and the mel/LUFS feature stack,
+all compiled into one XLA program over a batch of 64 five-second
+44.1 kHz clips. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the achieved aggregate real-time factor divided by the
+50x-per-chip target (BASELINE.md).
+"""
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+DURATION = 5.0
+SAMPLE_RATE = 44100
+BATCH = 64
+TARGET_RTF = 50.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    from fixtures import build_fixture_tree
+
+    from audiotools_tpu.data import transforms as tfm
+    from audiotools_tpu.data.datasets import AudioDataset, AudioLoader
+    from audiotools_tpu.data.loader import DataLoader
+    from audiotools_tpu.ops import fft as F
+    from audiotools_tpu.ops import loudness as L
+    from audiotools_tpu.ops import stretch as S
+
+    root = Path(tempfile.mkdtemp())
+    build_fixture_tree(root)
+
+    transform = tfm.Compose(
+        tfm.RoomImpulseResponse(sources=[str(root / "ir.csv")]),
+        tfm.BackgroundNoise(sources=[str(root / "nz.csv")]),
+        tfm.Equalizer(),
+        tfm.VolumeNorm(),
+    )
+    ds = AudioDataset(
+        AudioLoader(sources=[str(root / "spk.csv")]),
+        sample_rate=SAMPLE_RATE,
+        n_examples=BATCH,
+        duration=DURATION,
+        transform=transform,
+    )
+    dl = DataLoader(ds, batch_size=BATCH, num_workers=8)
+    batch = next(iter(dl))
+
+    @jax.jit
+    def pipeline(sig, kw):
+        out = ds.transform(sig, **kw)
+        audio = S.pitch_shift(out.audio_data, 2.0, SAMPLE_RATE)
+        mel = F.mel_spectrogram(audio, SAMPLE_RATE, 80)
+        lufs = L.loudness(audio, SAMPLE_RATE)
+        return audio, mel, lufs
+
+    args = (batch["signal"], batch["transform_args"])
+
+    # compile
+    out = pipeline(*args)
+    jax.block_until_ready(out)
+
+    # timed steady-state
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = pipeline(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    steady = float(np.median(times))
+
+    clips_per_sec = BATCH / steady
+    rtf = clips_per_sec * DURATION
+
+    print(
+        json.dumps(
+            {
+                "metric": "clips_per_sec_chip_b64_5s_augment_pitch_mel_lufs",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(rtf / TARGET_RTF, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
