@@ -27,9 +27,20 @@ def audio_info(path):
 
 
 def load_audio(path, offset: float = 0.0, duration: float = None):
-    """Decode audio as ``(C, T)`` float32 in [-1, 1] plus sample rate."""
+    """Decode audio as ``(C, T)`` float32 in [-1, 1] plus sample rate.
+
+    Prefers the native C++ decode engine (``audiotools_tpu.native``) and
+    falls back to the pure-Python codec.
+    """
     path = Path(path)
     if path.suffix.lower() == ".wav":
+        from .. import native
+
+        if native.available():
+            try:
+                return native.read_wav(path, offset=offset, duration=duration)
+            except ValueError:
+                pass  # fall through to the Python codec (e.g. mu-law)
         return read_wav(path, offset=offset, duration=duration)
     raise ValueError(
         f"Unsupported audio format '{path.suffix}'. Native support: .wav."

@@ -1,0 +1,170 @@
+"""Native (C++) runtime components.
+
+``libatwavio`` — the WAV decode engine with a multithreaded batch reader —
+is compiled on demand with the system toolchain and bound via ctypes. The
+pure-Python codec (``audiotools_tpu.io.wav``) is the fallback when no
+compiler is available, so the package works either way; the native path
+removes Python from the dataloader's decode hot loop.
+"""
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_LIB_PATH = _HERE / "libatwavio.so"
+_SRC = _HERE / "wavio.cpp"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build_library() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-funroll-loops",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        "-pthread",
+        str(_SRC),
+        "-o",
+        str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=120
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
+        return False
+
+
+def get_library():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build_library():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+
+        lib.at_wav_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.at_wav_info.restype = ctypes.c_int
+        lib.at_wav_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
+        lib.at_wav_read.restype = ctypes.c_int64
+        lib.at_wav_read_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.at_wav_read_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_library() is not None
+
+
+def wav_info(path):
+    """(sample_rate, num_frames, channels) via the native parser."""
+    lib = get_library()
+    if lib is None:
+        raise RuntimeError("native wavio unavailable")
+    sr = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    rc = lib.at_wav_info(str(path).encode(), ctypes.byref(sr), ctypes.byref(frames), ctypes.byref(ch))
+    if rc != 0:
+        raise ValueError(f"could not parse WAV: {path}")
+    return sr.value, frames.value, ch.value
+
+
+def read_wav(path, offset: float = 0.0, duration: float = None):
+    """Native seeked decode -> ((C, T) float32, sample_rate)."""
+    sr, total, ch = wav_info(path)
+    start = int(round(offset * sr)) if offset else 0
+    start = min(start, total)
+    if duration is None:
+        count = total - start
+    else:
+        count = min(int(round(duration * sr)), total - start)
+    out = np.empty((ch, max(count, 0)), dtype=np.float32)
+    lib = get_library()
+    got = lib.at_wav_read(
+        str(path).encode(),
+        start,
+        count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ch,
+    )
+    if got < 0:
+        raise ValueError(f"native decode failed for {path}")
+    return out[:, :got], sr
+
+
+def read_batch(paths, offsets, durations, n_threads: int = 0):
+    """Decode a batch of excerpts in parallel (C threads, no GIL).
+
+    Returns a list of (C, T) float32 arrays, zero-padded to the requested
+    duration, plus the list of sample rates.
+    """
+    lib = get_library()
+    if lib is None:
+        raise RuntimeError("native wavio unavailable")
+    n = len(paths)
+    infos = [wav_info(p) for p in paths]
+    starts = []
+    counts = []
+    outs = []
+    chans = []
+    for (sr, total, ch), off, dur in zip(infos, offsets, durations):
+        start = min(int(round(off * sr)), total)
+        count = int(round(dur * sr))
+        starts.append(start)
+        counts.append(count)
+        chans.append(ch)
+        # no zero fill: the C side pads short reads itself
+        outs.append(np.empty((ch, count), dtype=np.float32))
+
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    c_starts = (ctypes.c_int64 * n)(*starts)
+    c_counts = (ctypes.c_int64 * n)(*counts)
+    c_chans = (ctypes.c_int32 * n)(*chans)
+    c_outs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for o in outs]
+    )
+    rc = lib.at_wav_read_batch(
+        c_paths, n, c_starts, c_counts, c_outs, c_chans, n_threads
+    )
+    if rc != 0:
+        raise ValueError(f"native batch decode failed at item {-rc - 1}")
+    return outs, [i[0] for i in infos]

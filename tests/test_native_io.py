@@ -1,0 +1,99 @@
+"""Native C++ WAV engine tests: parity with the Python codec, seeked
+reads, parallel batch decode, and fallback behavior."""
+import numpy as np
+import pytest
+
+from audiotools_tpu import native
+from audiotools_tpu.io import load_audio, read_wav, write_wav
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def wavs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("native")
+    files = {}
+    rng = np.random.RandomState(0)
+    for name, (ch, subtype) in {
+        "mono16": (1, "PCM_16"),
+        "stereo16": (2, "PCM_16"),
+        "mono24": (1, "PCM_24"),
+        "mono32": (1, "PCM_32"),
+        "monof32": (1, "FLOAT"),
+    }.items():
+        data = (rng.randn(ch, 22050) * 0.1).astype(np.float32)
+        p = root / f"{name}.wav"
+        write_wav(p, data, 22050, subtype=subtype)
+        files[name] = (p, data)
+    return files
+
+
+def test_info_matches_python(wavs):
+    for p, data in wavs.values():
+        sr, frames, ch = native.wav_info(p)
+        assert sr == 22050
+        assert frames == data.shape[1]
+        assert ch == data.shape[0]
+
+
+def test_decode_parity_with_python_codec(wavs):
+    for name, (p, data) in wavs.items():
+        c_audio, c_sr = native.read_wav(p)
+        py_audio, py_sr = read_wav(p)
+        assert c_sr == py_sr
+        assert c_audio.shape == py_audio.shape
+        assert np.abs(c_audio - py_audio).max() < 1e-6, name
+
+
+def test_seeked_read(wavs):
+    p, data = wavs["stereo16"]
+    audio, sr = native.read_wav(p, offset=0.25, duration=0.5)
+    assert audio.shape == (2, 11025)
+    py_audio, _ = read_wav(p, offset=0.25, duration=0.5)
+    assert np.abs(audio - py_audio).max() < 1e-6
+
+
+def test_read_past_end_truncates(wavs):
+    p, data = wavs["mono16"]
+    audio, sr = native.read_wav(p, offset=0.9, duration=5.0)
+    assert audio.shape[1] == 22050 - int(0.9 * 22050)
+
+
+def test_batch_decode(wavs):
+    paths = [wavs["mono16"][0], wavs["mono24"][0], wavs["monof32"][0]]
+    outs, srs = native.read_batch(
+        paths, offsets=[0.0, 0.1, 0.2], durations=[0.5, 0.5, 0.5], n_threads=3
+    )
+    assert len(outs) == 3
+    for out, p, off in zip(outs, paths, [0.0, 0.1, 0.2]):
+        assert out.shape == (1, 11025)
+        ref, _ = read_wav(p, offset=off, duration=0.5)
+        assert np.abs(out - ref).max() < 1e-6
+
+
+def test_batch_decode_pads_short_reads(wavs):
+    p, _ = wavs["mono16"]
+    outs, _ = native.read_batch([p], offsets=[0.9], durations=[1.0])
+    assert outs[0].shape == (1, 22050)
+    # tail beyond EOF is zero
+    valid = 22050 - int(0.9 * 22050)
+    assert np.abs(outs[0][0, valid:]).max() == 0
+
+
+def test_batch_decode_error_reports_item(wavs, tmp_path):
+    good = wavs["mono16"][0]
+    with pytest.raises(ValueError, match="could not parse|item"):
+        native.read_batch(
+            [good, tmp_path / "missing.wav"],
+            offsets=[0, 0],
+            durations=[0.1, 0.1],
+        )
+
+
+def test_load_audio_uses_native(wavs):
+    p, data = wavs["mono16"]
+    audio, sr = load_audio(p, offset=0.1, duration=0.3)
+    ref, _ = read_wav(p, offset=0.1, duration=0.3)
+    assert np.abs(audio - ref).max() < 1e-6
