@@ -66,20 +66,18 @@ def main():
         lufs = L.loudness(audio, SAMPLE_RATE)
         return audio, mel, lufs
 
-    args = (batch["signal"], batch["transform_args"])
+    from audiotools_tpu.ops.benchmark import device_time
 
-    # compile
-    out = pipeline(*args)
-    jax.block_until_ready(out)
+    sig, kw = batch["signal"], batch["transform_args"]
 
-    # timed steady-state
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = pipeline(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    steady = float(np.median(times))
+    # true device time: chained iterations inside one dispatch (host
+    # round-trips through the device tunnel would otherwise dominate)
+    def run(audio):
+        s = sig.clone()
+        s.audio_data = audio
+        return pipeline(s, kw)
+
+    steady = device_time(run, sig.audio_data, iters=5)
 
     clips_per_sec = BATCH / steady
     rtf = clips_per_sec * DURATION
