@@ -211,9 +211,40 @@ class EffectMixin:
                 return self.mulaw_quantization(2**bits)
             bits = kwargs.get("bits_per_sample") or 16
             return self.quantization(2**bits)
+        if fmt == "mp3":
+            # Real encode/decode round trip through libmp3lame/libmpg123
+            # (host-side, per item — as the reference loops compressed
+            # formats per item, effects.py:366-376). Not jittable.
+            import tempfile
+
+            from ..io import codecs
+
+            if not codecs.mp3_available():
+                raise RuntimeError("MP3 codec libraries not available")
+            out = []
+            T = self.signal_length
+            for i in range(self.batch_size):
+                orig = np.asarray(self.audio_data[i])
+                with tempfile.NamedTemporaryFile(suffix=".mp3") as f:
+                    codecs.write_mp3(f.name, orig, self.sample_rate)
+                    dec, _ = codecs.read_mp3(f.name)
+                # lame+mpg123 introduce a codec delay; align by
+                # cross-correlation and trim it so the augmentation is
+                # time-aligned with the input
+                n = 1 << int(np.ceil(np.log2(dec.shape[-1] + T)))
+                xc = np.fft.irfft(
+                    np.fft.rfft(dec[0], n) * np.conj(np.fft.rfft(orig[0], n)), n
+                )
+                lag = int(np.argmax(xc[: dec.shape[-1] - T + 1])) if dec.shape[-1] > T else 0
+                dec = dec[:, lag:]
+                if dec.shape[-1] < T:
+                    dec = np.pad(dec, ((0, 0), (0, T - dec.shape[-1])))
+                out.append(dec[:, :T])
+            self.audio_data = jnp.asarray(np.stack(out))
+            return self
         raise RuntimeError(
             f"Codec format '{fmt}' requires external codec libraries that "
-            "are not available; native support: wav (PCM/ULAW)."
+            "are not available; native support: wav (PCM/ULAW), mp3."
         )
 
     def mel_filterbank(self, n_bands: int):

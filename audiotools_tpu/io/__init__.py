@@ -15,14 +15,26 @@ __all__ = ["load_audio", "save_audio", "audio_info", "WavInfo", "read_wav",
 
 
 def audio_info(path):
-    """File metadata (sample_rate, num_frames, duration) without decoding."""
+    """File metadata (sample_rate, num_frames, duration) without decoding
+    (mp3/ogg require a decode pass for an exact frame count)."""
     path = Path(path)
-    if path.suffix.lower() == ".wav":
+    suffix = path.suffix.lower()
+    if suffix == ".wav":
         return wav_info(path)
+    if suffix in (".mp3", ".ogg"):
+        data, sr = load_audio(path)
+        return WavInfo(
+            sample_rate=sr,
+            num_frames=data.shape[-1],
+            num_channels=data.shape[0],
+            bits_per_sample=16,
+            format_tag=0,
+            data_offset=0,
+            data_size=0,
+        )
     raise ValueError(
-        f"Unsupported audio format '{path.suffix}'. Native support: .wav "
-        "(mp3/flac decoding requires external codecs not present in this "
-        "environment)."
+        f"Unsupported audio format '{path.suffix}'. "
+        "Native support: .wav, .mp3, .ogg."
     )
 
 
@@ -33,7 +45,8 @@ def load_audio(path, offset: float = 0.0, duration: float = None):
     falls back to the pure-Python codec.
     """
     path = Path(path)
-    if path.suffix.lower() == ".wav":
+    suffix = path.suffix.lower()
+    if suffix == ".wav":
         from .. import native
 
         if native.available():
@@ -42,16 +55,31 @@ def load_audio(path, offset: float = 0.0, duration: float = None):
             except ValueError:
                 pass  # fall through to the Python codec (e.g. mu-law)
         return read_wav(path, offset=offset, duration=duration)
+    if suffix == ".mp3":
+        from . import codecs
+
+        return codecs.read_mp3(path, offset=offset, duration=duration)
+    if suffix == ".ogg":
+        from . import codecs
+
+        return codecs.read_ogg(path, offset=offset, duration=duration)
     raise ValueError(
-        f"Unsupported audio format '{path.suffix}'. Native support: .wav."
+        f"Unsupported audio format '{path.suffix}'. "
+        "Native support: .wav, .mp3, .ogg."
     )
 
 
 def save_audio(path, data: np.ndarray, sample_rate: int, subtype: str = "PCM_16"):
-    """Encode ``(C, T)`` float audio to disk (WAV)."""
+    """Encode ``(C, T)`` float audio to disk (WAV or MP3)."""
     path = Path(path)
-    if path.suffix.lower() == ".wav":
+    suffix = path.suffix.lower()
+    if suffix == ".wav":
         return write_wav(path, data, sample_rate, subtype=subtype)
+    if suffix == ".mp3":
+        from . import codecs
+
+        return codecs.write_mp3(path, data, sample_rate)
     raise ValueError(
-        f"Unsupported audio format '{path.suffix}'. Native support: .wav."
+        f"Unsupported audio format '{path.suffix}'. "
+        "Native write support: .wav, .mp3."
     )

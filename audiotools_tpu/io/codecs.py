@@ -1,0 +1,276 @@
+"""Compressed-audio codecs via system libraries (ctypes, no subprocesses).
+
+The reference shells out to ffmpeg/sox for codec work
+(/root/reference/audiotools/core/effects.py:311-384, core/ffmpeg.py); this
+environment has no such binaries, but it does ship codec *libraries*:
+
+* MP3 decode — libmpg123
+* MP3 encode — libmp3lame
+* Ogg/Vorbis decode — libvorbisfile
+
+Each is bound lazily; ``available()`` reports what works on this host.
+"""
+import ctypes
+import ctypes.util
+from pathlib import Path
+
+import numpy as np
+
+__all__ = [
+    "mp3_available",
+    "vorbis_available",
+    "read_mp3",
+    "write_mp3",
+    "read_ogg",
+]
+
+_MPG123_OK = 0
+_MPG123_DONE = -12
+_MPG123_ENC_SIGNED_16 = 0xD0
+
+
+def _load(name):
+    try:
+        return ctypes.CDLL(name)
+    except OSError:
+        return None
+
+
+_mpg123 = None
+_mpg123_ready = False
+
+
+def _get_mpg123():
+    global _mpg123, _mpg123_ready
+    if _mpg123 is None:
+        _mpg123 = _load("libmpg123.so.0")
+        if _mpg123 is not None and not _mpg123_ready:
+            _mpg123.mpg123_init()
+            _mpg123.mpg123_new.restype = ctypes.c_void_p
+            _mpg123.mpg123_new.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+            _mpg123.mpg123_open.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            _mpg123.mpg123_getformat.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            _mpg123.mpg123_format_none.argtypes = [ctypes.c_void_p]
+            _mpg123.mpg123_format.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_long,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            _mpg123.mpg123_read.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
+            _mpg123.mpg123_close.argtypes = [ctypes.c_void_p]
+            _mpg123.mpg123_delete.argtypes = [ctypes.c_void_p]
+            _mpg123_ready = True
+    return _mpg123
+
+
+_lame = None
+
+
+def _get_lame():
+    global _lame
+    if _lame is None:
+        _lame = _load("libmp3lame.so.0")
+        if _lame is not None:
+            _lame.lame_init.restype = ctypes.c_void_p
+            for fn in (
+                "lame_set_in_samplerate",
+                "lame_set_num_channels",
+                "lame_set_quality",
+                "lame_set_brate",
+            ):
+                getattr(_lame, fn).argtypes = [ctypes.c_void_p, ctypes.c_int]
+            _lame.lame_init_params.argtypes = [ctypes.c_void_p]
+            _lame.lame_encode_buffer_ieee_float.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+                ctypes.c_char_p,
+                ctypes.c_int,
+            ]
+            _lame.lame_encode_flush.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int,
+            ]
+            _lame.lame_close.argtypes = [ctypes.c_void_p]
+    return _lame
+
+
+def mp3_available() -> bool:
+    return _get_mpg123() is not None and _get_lame() is not None
+
+
+def read_mp3(path, offset: float = 0.0, duration: float = None):
+    """Decode an MP3 to ``(C, T)`` float32 in [-1, 1] plus sample rate."""
+    lib = _get_mpg123()
+    if lib is None:
+        raise RuntimeError("libmpg123 not available")
+    err = ctypes.c_int()
+    h = lib.mpg123_new(None, ctypes.byref(err))
+    if not h:
+        raise RuntimeError("mpg123_new failed")
+    try:
+        if lib.mpg123_open(h, str(path).encode()) != _MPG123_OK:
+            raise ValueError(f"could not open mp3: {path}")
+        rate = ctypes.c_long()
+        ch = ctypes.c_int()
+        enc = ctypes.c_int()
+        lib.mpg123_getformat(h, ctypes.byref(rate), ctypes.byref(ch), ctypes.byref(enc))
+        # lock to signed 16-bit output
+        lib.mpg123_format_none(h)
+        lib.mpg123_format(h, rate.value, ch.value, _MPG123_ENC_SIGNED_16)
+
+        chunks = []
+        buf = (ctypes.c_char * (64 * 1024))()
+        done = ctypes.c_size_t()
+        while True:
+            rc = lib.mpg123_read(h, buf, len(buf), ctypes.byref(done))
+            if done.value:
+                chunks.append(bytes(buf[: done.value]))
+            if rc == _MPG123_DONE:
+                break
+            if rc not in (_MPG123_OK,):
+                if not chunks:
+                    raise ValueError(f"mp3 decode error {rc}: {path}")
+                break
+        raw = b"".join(chunks)
+    finally:
+        lib.mpg123_close(h)
+        lib.mpg123_delete(h)
+
+    data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    n = len(data) // ch.value
+    data = data[: n * ch.value].reshape(n, ch.value).T  # (C, T)
+    sr = int(rate.value)
+    start = int(round(offset * sr)) if offset else 0
+    end = None if duration is None else start + int(round(duration * sr))
+    return np.ascontiguousarray(data[:, start:end]), sr
+
+
+def write_mp3(path, data: np.ndarray, sample_rate: int, bitrate: int = 192):
+    """Encode ``(C, T)`` float audio to MP3 (mono or stereo)."""
+    lib = _get_lame()
+    if lib is None:
+        raise RuntimeError("libmp3lame not available")
+    data = np.asarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        data = data[None, :]
+    C, T = data.shape
+    if C > 2:
+        raise ValueError("mp3 supports at most 2 channels")
+
+    gf = ctypes.c_void_p(lib.lame_init())
+    try:
+        lib.lame_set_in_samplerate(gf, sample_rate)
+        lib.lame_set_num_channels(gf, C)
+        lib.lame_set_quality(gf, 2)
+        lib.lame_set_brate(gf, bitrate)
+        if lib.lame_init_params(gf) < 0:
+            raise RuntimeError("lame_init_params failed")
+
+        left = np.ascontiguousarray(data[0])
+        right = np.ascontiguousarray(data[1] if C == 2 else data[0])
+        out_size = int(1.25 * T + 7200)
+        out = ctypes.create_string_buffer(out_size)
+        n = lib.lame_encode_buffer_ieee_float(
+            gf,
+            left.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            right.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            T,
+            out,
+            out_size,
+        )
+        if n < 0:
+            raise RuntimeError(f"lame encode failed: {n}")
+        tail = ctypes.create_string_buffer(7200)
+        m = lib.lame_encode_flush(gf, tail, 7200)
+        with open(path, "wb") as f:
+            f.write(out.raw[:n])
+            f.write(tail.raw[:m])
+    finally:
+        lib.lame_close(gf)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Ogg/Vorbis decode (libvorbisfile)
+# ---------------------------------------------------------------------------
+
+_vorbis = None
+
+
+def _get_vorbisfile():
+    global _vorbis
+    if _vorbis is None:
+        _vorbis = _load("libvorbisfile.so.3")
+        if _vorbis is not None:
+            _vorbis.ov_fopen.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+            _vorbis.ov_info.restype = ctypes.POINTER(_VorbisInfo)
+            _vorbis.ov_info.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            _vorbis.ov_pcm_total.restype = ctypes.c_int64
+            _vorbis.ov_pcm_total.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            _vorbis.ov_read.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            _vorbis.ov_clear.argtypes = [ctypes.c_void_p]
+    return _vorbis
+
+
+class _VorbisInfo(ctypes.Structure):
+    _fields_ = [
+        ("version", ctypes.c_int),
+        ("channels", ctypes.c_int),
+        ("rate", ctypes.c_long),
+    ]
+
+
+def vorbis_available() -> bool:
+    return _get_vorbisfile() is not None
+
+
+def read_ogg(path, offset: float = 0.0, duration: float = None):
+    """Decode an Ogg/Vorbis file to ``(C, T)`` float32 plus sample rate."""
+    lib = _get_vorbisfile()
+    if lib is None:
+        raise RuntimeError("libvorbisfile not available")
+    vf = ctypes.create_string_buffer(2048)  # opaque OggVorbis_File
+    if lib.ov_fopen(str(path).encode(), vf) != 0:
+        raise ValueError(f"could not open ogg: {path}")
+    try:
+        info = lib.ov_info(vf, -1).contents
+        sr, ch = int(info.rate), int(info.channels)
+        chunks = []
+        buf = ctypes.create_string_buffer(64 * 1024)
+        bitstream = ctypes.c_int()
+        while True:
+            n = lib.ov_read(vf, buf, len(buf), 0, 2, 1, ctypes.byref(bitstream))
+            if n <= 0:
+                break
+            chunks.append(buf.raw[:n])
+        raw = b"".join(chunks)
+    finally:
+        lib.ov_clear(vf)
+    data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    nfr = len(data) // ch
+    data = data[: nfr * ch].reshape(nfr, ch).T
+    start = int(round(offset * sr)) if offset else 0
+    end = None if duration is None else start + int(round(duration * sr))
+    return np.ascontiguousarray(data[:, start:end]), sr

@@ -1,0 +1,138 @@
+"""Pallas TPU kernels for the hot DSP paths.
+
+``fir_conv_causal``: causal FIR convolution ``y[n] = sum_k h[k] x[n-k]``
+as a blocked Toeplitz matmul on the MXU.
+
+Why a kernel: XLA evaluates long-FIR convolution either via FFT (VPU
+bound — measured ~14 ms for batch-64 x 5 s with the BS.1770 composed
+kernel) or via an im2col that materializes a (T, K) matrix (gigabytes).
+This kernel streams the signal once per grid step (HBM -> VMEM DMA) and
+accumulates the convolution as a sum of (ROWS, 128) @ (128, 128) matmuls
+against static Toeplitz slices of the kernel — im2col without ever
+touching HBM with it.
+
+Derivation: with the signal viewed as 128-wide blocks ``s[p, c]``
+(``n = p*128 + c``) and the output tile ``y[r*128 + j]`` for ``r`` in a
+chunk of ROWS rows, causality gives
+
+    y[r, j] = sum_k h[k] x[r*128 + j - k]
+            = sum_q  s[r + q, :] . M_q[:, j]
+
+where ``q`` indexes kernel blocks and ``M_q[c, j] = h[KP + j - q*128 - c]``
+(zero outside [0, K)) — each ``q`` contributes one MXU matmul over a
+sublane-shifted slice of the span.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fir_conv_causal"]
+
+BLK = 128        # output tile width (lane dim)
+ROWS = 64        # output rows per grid step (sublane dim of the matmul)
+CHUNK = BLK * ROWS  # outputs per grid step
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_blocks(h_key):
+    """M[q, c, j] = h[KP + j - (q*128 + c)] (zero out of range)."""
+    h = np.asarray(h_key, dtype=np.float32)
+    K = len(h)
+    KP = _round_up(K - 1, BLK) if K > 1 else 0
+    W_blk = KP // BLK + 1
+    M = np.zeros((W_blk, BLK, BLK), dtype=np.float32)
+    for q in range(W_blk):
+        for c in range(BLK):
+            m = q * BLK + c
+            # need 0 <= KP + j - m <= K - 1
+            lo = max(0, m - KP)
+            hi = min(BLK, K - KP + m)
+            for j in range(lo, hi):
+                M[q, c, j] = h[KP + j - m]
+    return M, KP, W_blk
+
+
+def _make_kernel(W_blk, S_blk):
+    def _kernel(x_ref, m_ref, o_ref, span, sem):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        dma = pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(t * ROWS, S_blk), :], span, sem
+        )
+        dma.start()
+        dma.wait()
+
+        acc = jnp.zeros((ROWS, BLK), dtype=jnp.float32)
+        for q in range(W_blk):
+            acc = acc + jax.lax.dot_general(
+                span[pl.ds(q, ROWS), :],
+                m_ref[q, :, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[0, :, :] = acc
+
+    return _kernel
+
+
+def fir_conv_causal(x: jnp.ndarray, h: np.ndarray, interpret: bool = False):
+    """Causal convolution of ``(..., T)`` signals with a shared FIR kernel
+    ``h`` (host-side numpy), truncated to ``T`` samples.
+
+    Matches ``filters.causal_fft_conv1d`` to float32 accuracy; runs on the
+    MXU instead of the VPU FFT path.
+    """
+    h = np.asarray(h, dtype=np.float32)
+    M_np, KP, W_blk = _toeplitz_blocks(tuple(h.tolist()))
+
+    T = x.shape[-1]
+    batch_shape = x.shape[:-1]
+    xf = x.reshape((-1, T)).astype(jnp.float32)
+    B = xf.shape[0]
+
+    T_out = _round_up(T, CHUNK)
+    n_chunks = T_out // CHUNK
+    # front-pad with KP zeros (causal history); the tail pad also covers
+    # the last chunk's span over-read
+    xp = jnp.pad(xf, ((0, 0), (KP, T_out - T + BLK)))
+    n_blk_total = xp.shape[-1] // BLK
+    xb = xp.reshape(B, n_blk_total, BLK)
+
+    S_blk = ROWS + KP // BLK  # span blocks needed per grid step
+
+    out = pl.pallas_call(
+        _make_kernel(W_blk, S_blk),
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (W_blk, BLK, BLK), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROWS, BLK), lambda b, t: (b, t * ROWS, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T_out // BLK, BLK), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S_blk, BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T_out * W_blk * BLK,
+            bytes_accessed=4 * (B * T_out * 2 + W_blk * BLK * BLK),
+            transcendentals=0,
+        ),
+    )(xb, jnp.asarray(M_np))
+
+    y = out.reshape(B, T_out)[:, :T]
+    return y.reshape(batch_shape + (T,))

@@ -58,7 +58,6 @@ def main():
     dl = DataLoader(ds, batch_size=BATCH, num_workers=8)
     batch = next(iter(dl))
 
-    @jax.jit
     def pipeline(sig, kw):
         out = ds.transform(sig, **kw)
         audio = S.pitch_shift(out.audio_data, 2.0, SAMPLE_RATE)
@@ -71,13 +70,15 @@ def main():
     sig, kw = batch["signal"], batch["transform_args"]
 
     # true device time: chained iterations inside one dispatch (host
-    # round-trips through the device tunnel would otherwise dominate)
+    # round-trips through the device tunnel would otherwise dominate).
+    # pipeline is deliberately NOT jitted on its own — only the chained
+    # loop compiles, halving time-to-first-measurement.
     def run(audio):
         s = sig.clone()
         s.audio_data = audio
         return pipeline(s, kw)
 
-    steady = device_time(run, sig.audio_data, iters=5)
+    steady = device_time(run, sig.audio_data, iters=3)
 
     clips_per_sec = BATCH / steady
     rtf = clips_per_sec * DURATION

@@ -1,0 +1,37 @@
+"""Pallas kernel tests (interpret mode on CPU; hardware parity is
+exercised by the profiler scripts on TPU)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiotools_tpu.ops.filters import causal_fft_conv1d
+from audiotools_tpu.ops.pallas_kernels import fir_conv_causal
+
+
+@pytest.mark.parametrize("taps", [33, 371, 1023])
+@pytest.mark.parametrize("T", [5000, 8192])
+def test_fir_conv_matches_fft_path(taps, T):
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 1, T).astype(np.float32))
+    h = np.random.RandomState(1).randn(taps).astype(np.float32) * 0.05
+    y_pl = np.asarray(fir_conv_causal(x, h, interpret=True))
+    y_ref = np.asarray(causal_fft_conv1d(x, jnp.asarray(h)))
+    assert y_pl.shape == y_ref.shape
+    assert np.abs(y_pl - y_ref).max() < 1e-4
+
+
+def test_fir_conv_k_weighting_kernel():
+    from audiotools_tpu.ops.loudness import _exact_fir
+
+    h = _exact_fir(44100, "K-weighting")
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 1, 9000).astype(np.float32))
+    y_pl = np.asarray(fir_conv_causal(x, h, interpret=True))
+    y_ref = np.asarray(causal_fft_conv1d(x, jnp.asarray(h)))
+    assert np.abs(y_pl - y_ref).max() < 1e-4
+
+
+def test_fir_conv_impulse_identity():
+    h = np.zeros(64, np.float32)
+    h[0] = 1.0
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 1, 4000).astype(np.float32))
+    y = np.asarray(fir_conv_causal(x, h, interpret=True))
+    assert np.abs(y - np.asarray(x)).max() < 1e-6

@@ -1,0 +1,71 @@
+"""Compressed-codec tests (MP3 via libmp3lame/libmpg123)."""
+import numpy as np
+import pytest
+
+from audiotools_tpu import AudioSignal
+from audiotools_tpu.io import codecs, load_audio, save_audio
+from tests.fixtures import speech_like
+
+mp3 = pytest.mark.skipif(not codecs.mp3_available(), reason="no mp3 libs")
+
+
+@mp3
+def test_mp3_roundtrip_spectral(tmp_path):
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    x = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None]
+    p = tmp_path / "t.mp3"
+    codecs.write_mp3(p, x, sr)
+    y, sr2 = codecs.read_mp3(p)
+    assert sr2 == sr
+    seg = y[0, 5000:80000]
+    f = np.fft.rfftfreq(len(seg), 1 / sr)[np.abs(np.fft.rfft(seg)).argmax()]
+    assert abs(f - 440) < 2
+
+
+@mp3
+def test_mp3_stereo_and_offset(tmp_path):
+    sr = 22050
+    x = np.stack([speech_like(0, 1.0, sr), speech_like(1, 1.0, sr)])
+    p = tmp_path / "s.mp3"
+    codecs.write_mp3(p, x, sr)
+    y, _ = codecs.read_mp3(p)
+    assert y.shape[0] == 2
+    yo, _ = codecs.read_mp3(p, offset=0.25, duration=0.5)
+    assert yo.shape[-1] == int(0.5 * sr)
+
+
+@mp3
+def test_audiosignal_mp3_io(tmp_path):
+    sig = AudioSignal(speech_like(0, 1.0)[None, None], 44100)
+    sig.write(tmp_path / "x.mp3")
+    loaded = AudioSignal(tmp_path / "x.mp3")
+    assert loaded.sample_rate == 44100
+    assert loaded.num_channels == 1
+
+
+@mp3
+def test_apply_codec_mp3_preset():
+    sig = AudioSignal(
+        np.stack([speech_like(i, 1.0) for i in range(2)])[:, None], 44100
+    )
+    out = sig.clone().apply_codec(preset="MP3")
+    assert out.shape == sig.shape
+    # codec distortion present but aligned
+    for i in range(2):
+        c = np.corrcoef(out.numpy()[i, 0], sig.numpy()[i, 0])[0, 1]
+        assert c > 0.98
+    assert not np.allclose(out.numpy(), sig.numpy())
+
+
+@mp3
+def test_save_audio_dispatch(tmp_path):
+    x = speech_like(0, 0.5)[None]
+    save_audio(tmp_path / "a.mp3", x, 44100)
+    y, sr = load_audio(tmp_path / "a.mp3")
+    assert sr == 44100
+
+
+def test_vorbis_binding_loads():
+    # no encoder available to create a fixture; just check the binding
+    assert codecs.vorbis_available() in (True, False)
