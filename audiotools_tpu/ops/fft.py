@@ -113,16 +113,60 @@ def num_frames(
 def _frame(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
     """Extract frames from the last axis: ``(..., T) -> (..., n_frames, frame_length)``.
 
-    Implemented as a gather with a static index matrix; XLA turns this into
-    strided VMEM loads.
+    When the hop divides the frame length (every default STFT config),
+    framing decomposes into ``frame_length // hop`` interleaved
+    *non-overlapping* reshapes — pure data movement, no gather. Otherwise
+    falls back to a static-index gather.
     """
     T = x.shape[-1]
     n = 1 + (T - frame_length) // hop_length
+
+    if frame_length % hop_length == 0:
+        r = frame_length // hop_length
+        nq = -(-n // r)  # blocks per offset
+        need = (nq - 1) * frame_length + frame_length  # nq * L
+        pad = max(0, (r - 1) * hop_length + need - T)
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        parts = []
+        for j in range(r):
+            seg = xp[..., j * hop_length : j * hop_length + nq * frame_length]
+            parts.append(seg.reshape(seg.shape[:-1] + (nq, frame_length)))
+        stacked = jnp.stack(parts, axis=-2)  # (..., nq, r, L)
+        frames = stacked.reshape(x.shape[:-1] + (nq * r, frame_length))
+        return frames[..., :n, :]
+
     idx = (
         np.arange(n, dtype=np.int32)[:, None] * hop_length
         + np.arange(frame_length, dtype=np.int32)[None, :]
     )
     return x[..., idx]
+
+
+def _overlap_add(frames: jnp.ndarray, hop_length: int, out_len: int) -> jnp.ndarray:
+    """OLA of ``(B, n_frames, L)`` frames into ``(B, out_len)``.
+
+    When the hop divides the frame length, OLA decomposes into
+    ``L // hop`` interleaved non-overlapping folds — static-slice adds,
+    no scatter (which would lower poorly on TPU). Falls back to a
+    static-index scatter otherwise.
+    """
+    B, nt, L = frames.shape
+    y = jnp.zeros((B, out_len), dtype=frames.dtype)
+
+    if L % hop_length == 0:
+        r = L // hop_length
+        for j in range(0, min(r, nt)):
+            grp = frames[:, j::r, :]  # non-overlapping frames
+            flat = grp.reshape(B, -1)
+            start = j * hop_length
+            y = y.at[:, start : start + flat.shape[1]].add(flat)
+        return y
+
+    idx = (
+        np.arange(nt, dtype=np.int32)[:, None] * hop_length
+        + np.arange(L, dtype=np.int32)[None, :]
+    ).reshape(-1)
+    return y.at[:, idx].add(frames.reshape(B, -1))
 
 
 def stft(
@@ -207,22 +251,20 @@ def istft(
         spec = jnp.pad(spec, ((0, 0), (0, 0), (2, 2)))
         nt = nt + 4
 
-    window = jnp.asarray(get_window(window_type, window_length))
+    window_np = get_window(window_type, window_length)
+    window = jnp.asarray(window_np)
     frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=window_length, axis=-1)
     frames = frames * window  # (B, nt, n_fft)
 
     out_len = window_length + hop_length * (nt - 1)
-    idx = (
-        np.arange(nt, dtype=np.int32)[:, None] * hop_length
-        + np.arange(window_length, dtype=np.int32)[None, :]
-    ).reshape(-1)
-    flat = frames.reshape((frames.shape[0], -1))
-    y = jnp.zeros((frames.shape[0], out_len), dtype=frames.dtype)
-    y = y.at[:, idx].add(flat)
+    y = _overlap_add(frames, hop_length, out_len)
 
-    wsq = jnp.tile((window * window)[None, :], (nt, 1)).reshape(-1)
-    norm = jnp.zeros((out_len,), dtype=frames.dtype).at[idx].add(wsq)
-    y = y / jnp.where(norm > 1e-11, norm, 1.0)
+    # window-square normalization envelope is static — precompute on host
+    norm = np.zeros(out_len, dtype=np.float32)
+    wsq = (window_np * window_np).astype(np.float32)
+    for i in range(nt):
+        norm[i * hop_length : i * hop_length + window_length] += wsq
+    y = y / jnp.asarray(np.where(norm > 1e-11, norm, 1.0))
 
     # remove the center padding, cut to length
     cpad = window_length // 2

@@ -64,20 +64,52 @@ def fft_conv1d(x: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
     return y[..., L - 1 : T]
 
 
-def causal_fft_conv1d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def causal_fft_conv1d(
+    x: jnp.ndarray, kernel: jnp.ndarray, block_size: int = None
+) -> jnp.ndarray:
     """Causal convolution ``y[n] = sum_k h[k] x[n-k]`` truncated to ``T``.
 
     Matches the net alignment of the reference loudness FIR path
     (/root/reference/audiotools/core/loudness.py:89-96: pad, fft_conv with
     reversed kernel, slice ``[1:nt+1]``).
+
+    ``block_size`` switches to overlap-save with pow2 block FFTs — many
+    small batched FFTs often beat one huge FFT on the TPU VPU.
     """
     T = x.shape[-1]
     L = kernel.shape[-1]
+    if block_size is not None and block_size > 2 * L:
+        return _causal_overlap_save(x, kernel, block_size)
     n = _next_pow2(T + L)
     X = jnp.fft.rfft(x, n=n)
     H = jnp.fft.rfft(kernel, n=n)
     y = jnp.fft.irfft(X * H, n=n)
     return y[..., :T]
+
+
+def _causal_overlap_save(
+    x: jnp.ndarray, kernel: jnp.ndarray, nfft: int
+) -> jnp.ndarray:
+    """Overlap-save causal convolution with pow2 ``nfft`` blocks."""
+    T = x.shape[-1]
+    L = kernel.shape[-1]
+    hop = nfft - (L - 1)
+    nblk = -(-T // hop)
+    batch_shape = x.shape[:-1]
+    xf = x.reshape((-1, T))
+    # each block b reads x[b*hop - (L-1) : b*hop + hop + ...]; front-pad
+    # with the causal history and tail-pad to the block grid
+    total = (nblk - 1) * hop + nfft
+    xp = jnp.pad(xf, ((0, 0), (L - 1, max(0, total - T - (L - 1)))))
+    idx = (
+        np.arange(nblk, dtype=np.int32)[:, None] * hop
+        + np.arange(nfft, dtype=np.int32)[None, :]
+    )
+    blocks = xp[:, idx]  # (B, nblk, nfft)
+    Y = jnp.fft.rfft(blocks, n=nfft) * jnp.fft.rfft(kernel, n=nfft)
+    y = jnp.fft.irfft(Y, n=nfft)[..., L - 1 :]  # valid part: hop samples
+    y = y.reshape((xf.shape[0], -1))[:, :T]
+    return y.reshape(batch_shape + (T,))
 
 
 def lowpass_kernel(

@@ -65,20 +65,30 @@ def main():
         lufs = L.loudness(audio, SAMPLE_RATE)
         return audio, mel, lufs
 
-    from audiotools_tpu.ops.benchmark import device_time
-
     sig, kw = batch["signal"], batch["transform_args"]
 
-    # true device time: chained iterations inside one dispatch (host
-    # round-trips through the device tunnel would otherwise dominate).
-    # pipeline is deliberately NOT jitted on its own — only the chained
-    # loop compiles, halving time-to-first-measurement.
-    def run(audio):
-        s = sig.clone()
-        s.audio_data = audio
-        return pipeline(s, kw)
+    def _checksum(s, k):
+        audio, mel, lufs = pipeline(s, k)
+        # sum over every output so XLA cannot dead-code-eliminate a stage
+        return jnp.sum(audio) + jnp.sum(mel) + jnp.sum(lufs)
 
-    steady = device_time(run, sig.audio_data, iters=3)
+    jitted = jax.jit(_checksum)
+
+    # compile + settle
+    float(jitted(sig, kw))
+
+    # The TPU executes dispatches in order on one stream, so the time to
+    # drain N queued calls (synced by fetching the last scalar result) is
+    # N x true device time. (block_until_ready is unreliable over the
+    # tunneled transport, and per-call host syncs would measure link
+    # latency instead.)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jitted(sig, kw)
+    float(out)
+    t1 = time.perf_counter()
+    steady = (t1 - t0) / iters
 
     clips_per_sec = BATCH / steady
     rtf = clips_per_sec * DURATION
