@@ -169,6 +169,19 @@ def _overlap_add(frames: jnp.ndarray, hop_length: int, out_len: int) -> jnp.ndar
     return y.at[:, idx].add(frames.reshape(B, -1))
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_matrices(window_type: str, n_fft: int):
+    """Window-fused real-DFT matrices ``(n_fft, n_freq)`` for cos and -sin,
+    so ``X = frames @ C + 1j * frames @ S`` equals ``rfft(frames * w)``."""
+    w = get_window(window_type, n_fft).astype(np.float64)
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    C = (np.cos(ang) * w[:, None]).astype(np.float32)
+    S = (np.sin(ang) * w[:, None]).astype(np.float32)
+    return C, S
+
+
 def stft(
     audio: jnp.ndarray,
     window_length: int,
@@ -176,12 +189,18 @@ def stft(
     window_type: str = "hann",
     match_stride: bool = False,
     padding_type: str = "reflect",
+    method: str = "fft",
 ) -> jnp.ndarray:
     """Short-time Fourier transform of ``(..., T)`` audio.
 
     Returns complex64 of shape ``(..., n_freq, n_frames)`` with
     ``n_freq = window_length // 2 + 1``, matching the reference's
     ``torch.stft(center=True)`` path (audio_signal.py:1123-1212).
+
+    ``method="matmul"`` evaluates the windowed DFT as two MXU matmuls
+    against precomputed cos/sin matrices instead of a VPU FFT — the
+    GEMM-native frontend strategy; faster on TPU at slightly relaxed
+    (3-pass bf16 ~ 1e-5) precision.
     """
     length = audio.shape[-1]
     right_pad, pad = compute_stft_padding(
@@ -200,8 +219,14 @@ def stft(
     x = jnp.pad(x, ((0, 0), (cpad, cpad)), mode="reflect")
 
     frames = _frame(x, window_length, hop_length)  # (B, n_frames, n_fft)
-    window = jnp.asarray(get_window(window_type, window_length))
-    spec = jnp.fft.rfft(frames * window, axis=-1)  # (B, n_frames, n_freq)
+    if method == "matmul":
+        C, S = _dft_matrices(window_type, window_length)
+        re = jnp.dot(frames, jnp.asarray(C), precision=jax.lax.Precision.HIGH)
+        im = jnp.dot(frames, jnp.asarray(S), precision=jax.lax.Precision.HIGH)
+        spec = jax.lax.complex(re, im)  # (B, n_frames, n_freq)
+    else:
+        window = jnp.asarray(get_window(window_type, window_length))
+        spec = jnp.fft.rfft(frames * window, axis=-1)  # (B, n_frames, n_freq)
     spec = jnp.swapaxes(spec, -1, -2)  # (B, n_freq, n_frames)
 
     if match_stride:
@@ -377,6 +402,7 @@ def mel_spectrogram(
     window_type: str = "hann",
     match_stride: bool = False,
     padding_type: str = "reflect",
+    method: str = "fft",
 ) -> jnp.ndarray:
     """Mel spectrogram ``(..., n_mels, n_frames)`` of ``(..., T)`` audio.
 
@@ -388,7 +414,8 @@ def mel_spectrogram(
     if hop_length is None:
         hop_length = window_length // 4
     spec = stft(
-        audio, window_length, hop_length, window_type, match_stride, padding_type
+        audio, window_length, hop_length, window_type, match_stride,
+        padding_type, method,
     )
     magnitude = jnp.abs(spec)
     basis = jnp.asarray(

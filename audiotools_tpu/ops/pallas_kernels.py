@@ -118,8 +118,9 @@ def fir_conv_causal(x: jnp.ndarray, h: np.ndarray, interpret: bool = False):
                 (W_blk, BLK, BLK), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
+        # NB: index_map returns BLOCK indices (scaled by block_shape)
         out_specs=pl.BlockSpec(
-            (1, ROWS, BLK), lambda b, t: (b, t * ROWS, 0), memory_space=pltpu.VMEM
+            (1, ROWS, BLK), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, T_out // BLK, BLK), jnp.float32),
         scratch_shapes=[
