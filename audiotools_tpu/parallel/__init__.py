@@ -1,0 +1,2 @@
+from .mesh import make_mesh
+from .timeshard import sharded_fir_conv, sharded_frames, sharded_loudness_blocks
