@@ -242,9 +242,31 @@ class EffectMixin:
                 out.append(dec[:, :T])
             self.audio_data = jnp.asarray(np.stack(out))
             return self
+        if fmt in ("vorbis", "ogg"):
+            # Vorbis is granulepos-aligned: the decode is sample-accurate
+            # with no codec delay, so no realignment is needed.
+            import tempfile
+
+            from ..io import codecs
+
+            if not (codecs.vorbis_encode_available() and codecs.vorbis_available()):
+                raise RuntimeError("Vorbis codec libraries not available")
+            out = []
+            T = self.signal_length
+            for i in range(self.batch_size):
+                orig = np.asarray(self.audio_data[i])
+                with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
+                    codecs.write_ogg(f.name, orig, self.sample_rate)
+                    dec, _ = codecs.read_ogg(f.name)
+                if dec.shape[-1] < T:
+                    dec = np.pad(dec, ((0, 0), (0, T - dec.shape[-1])))
+                out.append(dec[:, :T])
+            self.audio_data = jnp.asarray(np.stack(out))
+            return self
         raise RuntimeError(
             f"Codec format '{fmt}' requires external codec libraries that "
-            "are not available; native support: wav (PCM/ULAW), mp3."
+            "are not available; native support: wav (PCM/ULAW), mp3, "
+            "ogg/vorbis."
         )
 
     def mel_filterbank(self, n_bands: int):

@@ -70,7 +70,7 @@ def load_audio(path, offset: float = 0.0, duration: float = None):
 
 
 def save_audio(path, data: np.ndarray, sample_rate: int, subtype: str = "PCM_16"):
-    """Encode ``(C, T)`` float audio to disk (WAV or MP3)."""
+    """Encode ``(C, T)`` float audio to disk (WAV, MP3, or Ogg/Vorbis)."""
     path = Path(path)
     suffix = path.suffix.lower()
     if suffix == ".wav":
@@ -79,7 +79,11 @@ def save_audio(path, data: np.ndarray, sample_rate: int, subtype: str = "PCM_16"
         from . import codecs
 
         return codecs.write_mp3(path, data, sample_rate)
+    if suffix == ".ogg":
+        from . import codecs
+
+        return codecs.write_ogg(path, data, sample_rate)
     raise ValueError(
         f"Unsupported audio format '{path.suffix}'. "
-        "Native write support: .wav, .mp3."
+        "Native write support: .wav, .mp3, .ogg."
     )

@@ -7,6 +7,7 @@ environment has no such binaries, but it does ship codec *libraries*:
 * MP3 decode — libmpg123
 * MP3 encode — libmp3lame
 * Ogg/Vorbis decode — libvorbisfile
+* Ogg/Vorbis encode — libvorbisenc + libvorbis + libogg
 
 Each is bound lazily; ``available()`` reports what works on this host.
 """
@@ -19,9 +20,11 @@ import numpy as np
 __all__ = [
     "mp3_available",
     "vorbis_available",
+    "vorbis_encode_available",
     "read_mp3",
     "write_mp3",
     "read_ogg",
+    "write_ogg",
 ]
 
 _MPG123_OK = 0
@@ -244,6 +247,171 @@ class _VorbisInfo(ctypes.Structure):
 
 def vorbis_available() -> bool:
     return _get_vorbisfile() is not None
+
+
+# ---------------------------------------------------------------------------
+# Ogg/Vorbis encode (libvorbisenc + libvorbis + libogg)
+# ---------------------------------------------------------------------------
+
+
+class _OggPacket(ctypes.Structure):
+    _fields_ = [
+        ("packet", ctypes.POINTER(ctypes.c_ubyte)),
+        ("bytes", ctypes.c_long),
+        ("b_o_s", ctypes.c_long),
+        ("e_o_s", ctypes.c_long),
+        ("granulepos", ctypes.c_int64),
+        ("packetno", ctypes.c_int64),
+    ]
+
+
+class _OggPage(ctypes.Structure):
+    _fields_ = [
+        ("header", ctypes.POINTER(ctypes.c_ubyte)),
+        ("header_len", ctypes.c_long),
+        ("body", ctypes.POINTER(ctypes.c_ubyte)),
+        ("body_len", ctypes.c_long),
+    ]
+
+
+_venc_libs = None
+
+
+def _get_vorbisenc():
+    """Load (libogg, libvorbis, libvorbisenc) and declare signatures."""
+    global _venc_libs
+    if _venc_libs is None:
+        ogg = _load("libogg.so.0")
+        vb = _load("libvorbis.so.0")
+        enc = _load("libvorbisenc.so.2")
+        if not (ogg and vb and enc):
+            _venc_libs = (None, None, None)
+            return _venc_libs
+        P = ctypes.c_void_p
+        ogg.ogg_stream_init.argtypes = [P, ctypes.c_int]
+        ogg.ogg_stream_packetin.argtypes = [P, ctypes.POINTER(_OggPacket)]
+        ogg.ogg_stream_flush.argtypes = [P, ctypes.POINTER(_OggPage)]
+        ogg.ogg_stream_pageout.argtypes = [P, ctypes.POINTER(_OggPage)]
+        ogg.ogg_stream_clear.argtypes = [P]
+        vb.vorbis_info_init.argtypes = [P]
+        vb.vorbis_info_clear.argtypes = [P]
+        vb.vorbis_comment_init.argtypes = [P]
+        vb.vorbis_comment_clear.argtypes = [P]
+        vb.vorbis_analysis_init.argtypes = [P, P]
+        vb.vorbis_block_init.argtypes = [P, P]
+        vb.vorbis_analysis_headerout.argtypes = [
+            P, P,
+            ctypes.POINTER(_OggPacket),
+            ctypes.POINTER(_OggPacket),
+            ctypes.POINTER(_OggPacket),
+        ]
+        vb.vorbis_analysis_buffer.restype = ctypes.POINTER(
+            ctypes.POINTER(ctypes.c_float)
+        )
+        vb.vorbis_analysis_buffer.argtypes = [P, ctypes.c_int]
+        vb.vorbis_analysis_wrote.argtypes = [P, ctypes.c_int]
+        vb.vorbis_analysis_blockout.argtypes = [P, P]
+        vb.vorbis_analysis.argtypes = [P, P]
+        vb.vorbis_bitrate_addblock.argtypes = [P]
+        vb.vorbis_bitrate_flushpacket.argtypes = [P, ctypes.POINTER(_OggPacket)]
+        vb.vorbis_block_clear.argtypes = [P]
+        vb.vorbis_dsp_clear.argtypes = [P]
+        enc.vorbis_encode_init_vbr.argtypes = [
+            P, ctypes.c_long, ctypes.c_long, ctypes.c_float
+        ]
+        _venc_libs = (ogg, vb, enc)
+    return _venc_libs
+
+
+def vorbis_encode_available() -> bool:
+    return _get_vorbisenc()[0] is not None
+
+
+def write_ogg(path, data: np.ndarray, sample_rate: int, quality: float = 0.3):
+    """Encode ``(C, T)`` float audio to an Ogg/Vorbis file (VBR).
+
+    ``quality`` is the libvorbisenc VBR knob in [-0.1, 1.0]; 0.3 ≈ ~112 kbps
+    stereo. The reference reaches Vorbis through torchaudio/sox
+    (/root/reference/audiotools/core/effects.py:366-376); here the ogg
+    stream framing and vorbis analysis are driven directly via ctypes.
+    """
+    ogg, vb, enc = _get_vorbisenc()
+    if ogg is None:
+        raise RuntimeError("vorbis encoder libraries not available")
+    data = np.asarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        data = data[None, :]
+    C, T = data.shape
+
+    # Opaque libvorbis/libogg state structs — allocated oversized; every
+    # access goes through the library, only ogg_page/ogg_packet are read.
+    vi = ctypes.create_string_buffer(256)    # vorbis_info
+    vc = ctypes.create_string_buffer(64)     # vorbis_comment
+    vd = ctypes.create_string_buffer(4096)   # vorbis_dsp_state
+    vblk = ctypes.create_string_buffer(1024)  # vorbis_block
+    osb = ctypes.create_string_buffer(1024)  # ogg_stream_state
+    og = _OggPage()
+    op = _OggPacket()
+
+    vb.vorbis_info_init(vi)
+    try:
+        if enc.vorbis_encode_init_vbr(vi, C, sample_rate, quality) != 0:
+            raise RuntimeError("vorbis_encode_init_vbr failed")
+        vb.vorbis_comment_init(vc)
+        vb.vorbis_analysis_init(vd, vi)
+        vb.vorbis_block_init(vd, vblk)
+        ogg.ogg_stream_init(osb, 1)
+
+        out = bytearray()
+
+        def _pages(flush=False):
+            fn = ogg.ogg_stream_flush if flush else ogg.ogg_stream_pageout
+            while fn(osb, ctypes.byref(og)) != 0:
+                out.extend(ctypes.string_at(og.header, og.header_len))
+                out.extend(ctypes.string_at(og.body, og.body_len))
+
+        # the three mandatory header packets, flushed onto their own page(s)
+        h1, h2, h3 = _OggPacket(), _OggPacket(), _OggPacket()
+        vb.vorbis_analysis_headerout(
+            vd, vc, ctypes.byref(h1), ctypes.byref(h2), ctypes.byref(h3)
+        )
+        for h in (h1, h2, h3):
+            ogg.ogg_stream_packetin(osb, ctypes.byref(h))
+        _pages(flush=True)
+
+        def _drain():
+            while vb.vorbis_analysis_blockout(vd, vblk) == 1:
+                vb.vorbis_analysis(vblk, None)
+                vb.vorbis_bitrate_addblock(vblk)
+                while vb.vorbis_bitrate_flushpacket(vd, ctypes.byref(op)) == 1:
+                    ogg.ogg_stream_packetin(osb, ctypes.byref(op))
+                    _pages()
+
+        CHUNK = 4096
+        for start in range(0, T, CHUNK):
+            n = min(CHUNK, T - start)
+            buf = vb.vorbis_analysis_buffer(vd, n)
+            for c in range(C):
+                ctypes.memmove(
+                    buf[c],
+                    np.ascontiguousarray(data[c, start : start + n]).ctypes.data,
+                    n * 4,
+                )
+            vb.vorbis_analysis_wrote(vd, n)
+            _drain()
+        vb.vorbis_analysis_wrote(vd, 0)  # end of stream
+        _drain()
+        _pages(flush=True)
+
+        with open(path, "wb") as f:
+            f.write(bytes(out))
+    finally:
+        ogg.ogg_stream_clear(osb)
+        vb.vorbis_block_clear(vblk)
+        vb.vorbis_dsp_clear(vd)
+        vb.vorbis_comment_clear(vc)
+        vb.vorbis_info_clear(vi)
+    return path
 
 
 def read_ogg(path, offset: float = 0.0, duration: float = None):

@@ -67,5 +67,61 @@ def test_save_audio_dispatch(tmp_path):
 
 
 def test_vorbis_binding_loads():
-    # no encoder available to create a fixture; just check the binding
     assert codecs.vorbis_available() in (True, False)
+
+
+vorbis = pytest.mark.skipif(
+    not (codecs.vorbis_available() and codecs.vorbis_encode_available()),
+    reason="no vorbis libs",
+)
+
+
+@vorbis
+def test_ogg_roundtrip_sample_accurate(tmp_path):
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    x = np.stack(
+        [0.4 * np.sin(2 * np.pi * 440 * t), 0.4 * np.sin(2 * np.pi * 660 * t)]
+    ).astype(np.float32)
+    p = tmp_path / "t.ogg"
+    codecs.write_ogg(p, x, sr)
+    y, sr2 = codecs.read_ogg(p)
+    assert sr2 == sr
+    # vorbis decode is granulepos-aligned: exact length, no codec delay
+    assert y.shape == x.shape
+    a, b = y.ravel(), x.ravel()
+    corr = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert corr > 0.99
+
+
+@vorbis
+def test_ogg_offset_duration(tmp_path):
+    sr = 22050
+    x = speech_like(0, 2.0, sr)[None]
+    p = tmp_path / "s.ogg"
+    codecs.write_ogg(p, x, sr)
+    yo, _ = codecs.read_ogg(p, offset=0.5, duration=1.0)
+    assert yo.shape[-1] == sr
+
+
+@vorbis
+def test_audiosignal_ogg_io(tmp_path):
+    sig = AudioSignal(speech_like(0, 1.0)[None, None], 44100)
+    sig.write(tmp_path / "x.ogg")
+    loaded = AudioSignal(tmp_path / "x.ogg")
+    assert loaded.sample_rate == 44100
+    assert loaded.signal_length == sig.signal_length
+
+
+@vorbis
+def test_apply_codec_vorbis_preset():
+    sig = AudioSignal(
+        np.stack([speech_like(i, 1.0) for i in range(2)])[:, None], 44100
+    )
+    for preset in ("Vorbis", "Ogg"):
+        out = sig.clone().apply_codec(preset=preset)
+        assert out.shape == sig.shape
+        for i in range(2):
+            c = np.corrcoef(out.numpy()[i, 0], sig.numpy()[i, 0])[0, 1]
+            assert c > 0.95
+        assert not np.allclose(out.numpy(), sig.numpy())
