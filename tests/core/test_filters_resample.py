@@ -153,3 +153,53 @@ def test_identity_resample():
     x = np.random.RandomState(9).randn(1, 1, 1000).astype(np.float32)
     y = R.resample(jnp.asarray(x), 44100, 44100)
     assert y is not None and np.abs(np.asarray(y) - x).max() == 0
+
+
+# ---------------------------------------------------------------------------
+# overlap-save block convolution
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_save_matches_fft_conv():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 1, 7001).astype(np.float32))
+    k = jnp.asarray(rng.randn(4, 513).astype(np.float32))
+    v0 = FL.fft_conv1d(x, k)
+    v1 = FL.overlap_save_valid(x[..., None, :], k, 2048)
+    assert np.abs(np.asarray(v0 - v1)).max() < 1e-4
+
+
+def test_overlap_save_rejects_small_block():
+    x = jnp.zeros((1, 256))
+    k = jnp.zeros((129,))
+    with pytest.raises(ValueError):
+        FL.overlap_save_valid(x, k, 128)
+
+
+def test_low_pass_block_matches_full():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(3, 2, 22050).astype(np.float32))
+    cut = jnp.asarray([4000.0, 8000.0, 16000.0])
+    y0 = FL.low_pass(x, cut, 44100)
+    y1 = FL.low_pass(x, cut, 44100, block_size=2048)
+    assert np.abs(np.asarray(y0 - y1)).max() < 1e-5
+
+
+def test_split_bands_block_matches_full():
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 1, 22050).astype(np.float32))
+    b0 = FL.split_bands(x, 44100, 6)
+    b1 = FL.split_bands(x, 44100, 6, block_size=16384)
+    assert np.abs(np.asarray(b0 - b1)).max() < 1e-5
+    assert np.abs(np.asarray(b1.sum(-1) - x)).max() < 1e-5
+
+
+def test_low_pass_concrete_cutoff_tightens_support():
+    """Concrete cutoffs >= min_cutoff_hz give identical output to the
+    wide-support default (the sinc taps outside the tight support are
+    zero), while building a much smaller kernel."""
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 1, 8000).astype(np.float32))
+    y_wide = FL.low_pass(x, jnp.asarray([4000.0]), 44100, min_cutoff_hz=3999.0)
+    y_tight = FL.low_pass(x, jnp.asarray([4000.0]), 44100)  # concrete -> 4k support
+    assert np.abs(np.asarray(y_wide - y_tight)).max() < 1e-6

@@ -35,3 +35,24 @@ def test_fir_conv_impulse_identity():
     x = jnp.asarray(np.random.RandomState(3).randn(1, 1, 4000).astype(np.float32))
     y = np.asarray(fir_conv_causal(x, h, interpret=True))
     assert np.abs(y - np.asarray(x)).max() < 1e-6
+
+
+def test_fir_conv_rejects_kernels_beyond_envelope():
+    import pytest
+
+    from audiotools_tpu.ops.pallas_kernels import MAX_TAPS, fir_conv_causal
+
+    x = jnp.zeros((1, 4096), jnp.float32)
+    with pytest.raises(ValueError):
+        fir_conv_causal(x, np.zeros(MAX_TAPS + 1, np.float32))
+
+
+def test_loudness_pallas_falls_back_for_exact_kernel():
+    """conv_method='pallas' with the (3723-tap) exact kernel must fall back
+    to the FFT path instead of exceeding the validated envelope."""
+    from audiotools_tpu.ops import loudness as L
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 1, 44100).astype(np.float32) * 0.1)
+    a = np.asarray(L.loudness(x, 44100))
+    b = np.asarray(L.loudness(x, 44100, conv_method="pallas"))
+    assert np.abs(a - b).max() < 1e-6
