@@ -237,6 +237,23 @@ def stft(
     return spec.reshape(batch_shape + spec.shape[1:])
 
 
+@functools.lru_cache(maxsize=None)
+def _idft_matrices(window_type: str, n_fft: int):
+    """Window-fused inverse real-DFT matrices ``(n_freq, n_fft)`` so that
+    ``frames*w == Re(S) @ Ci + Im(S) @ Si`` equals ``irfft(S) * w``."""
+    w = get_window(window_type, n_fft).astype(np.float64)
+    k = np.arange(n_fft // 2 + 1)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    scale = np.full((n_fft // 2 + 1, 1), 2.0)
+    scale[0] = 1.0
+    if n_fft % 2 == 0:
+        scale[-1] = 1.0
+    Ci = (scale * np.cos(ang) * w[None, :] / n_fft).astype(np.float32)
+    Si = (-scale * np.sin(ang) * w[None, :] / n_fft).astype(np.float32)
+    return Ci, Si
+
+
 def istft(
     stft_data: jnp.ndarray,
     window_length: int,
@@ -245,6 +262,7 @@ def istft(
     match_stride: bool = False,
     length: int = None,
     original_length: int = None,
+    method: str = "fft",
 ) -> jnp.ndarray:
     """Inverse STFT of ``(..., n_freq, n_frames)`` complex data.
 
@@ -277,9 +295,22 @@ def istft(
         nt = nt + 4
 
     window_np = get_window(window_type, window_length)
-    window = jnp.asarray(window_np)
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=window_length, axis=-1)
-    frames = frames * window  # (B, nt, n_fft)
+    if method == "matmul":
+        # MXU inverse DFT fused with the synthesis window (counterpart of
+        # stft(method="matmul"))
+        Ci, Si = _idft_matrices(window_type, window_length)
+        S = jnp.swapaxes(spec, -1, -2)  # (B, nt, n_freq)
+        frames = jnp.dot(
+            jnp.real(S), jnp.asarray(Ci), precision=jax.lax.Precision.HIGH
+        ) + jnp.dot(
+            jnp.imag(S), jnp.asarray(Si), precision=jax.lax.Precision.HIGH
+        )  # (B, nt, n_fft), window already applied
+    else:
+        window = jnp.asarray(window_np)
+        frames = jnp.fft.irfft(
+            jnp.swapaxes(spec, -1, -2), n=window_length, axis=-1
+        )
+        frames = frames * window  # (B, nt, n_fft)
 
     out_len = window_length + hop_length * (nt - 1)
     y = _overlap_add(frames, hop_length, out_len)

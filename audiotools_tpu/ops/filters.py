@@ -331,14 +331,43 @@ def equalizer(
     audio: jnp.ndarray, db: jnp.ndarray, sample_rate: int, zeros: int = 8
 ) -> jnp.ndarray:
     """Mel-spaced graphic EQ: weight each band by ``10**db`` and sum
-    (reference ``EffectMixin.equalizer``, effects.py:405-433)."""
+    (reference ``EffectMixin.equalizer``, effects.py:405-433).
+
+    Identical numerics to ``sum(split_bands * weights)``, but computed as
+    ONE convolution: with bands ``b_0 = lp_0``, ``b_i = lp_i - lp_{i-1}``,
+    ``b_{n-1} = x - lp_{n-2}`` the weighted sum telescopes to
+
+        EQ(x) = w_{n-1} x + x * sum_i (w_i - w_{i+1}) k_i
+
+    so the (static) low-pass kernel bank collapses through the (traced)
+    per-item weights into one ``(B, L)`` kernel — an (n_bands-1)x FLOP
+    reduction over the band-split (v5e: 34 ms -> one short per-item conv).
+    """
     db = jnp.asarray(db, dtype=jnp.float32)
     if db.ndim == 1:
         db = db[None, :]
     n_bands = db.shape[-1]
-    bands = split_bands(audio, sample_rate, n_bands, zeros)
     weights = 10.0 ** db  # (B, n_bands)
-    return jnp.sum(bands * weights[:, None, None, :], axis=-1)
+    if n_bands == 1:
+        return audio * weights[:, 0, None, None]
+    kernels, half = _split_band_kernels(sample_rate, n_bands, zeros)
+    # (B, n_bands-1) telescoped weight differences @ (n_bands-1, L) bank
+    w_diff = weights[:, :-1] - weights[:, 1:]
+    combined = jnp.einsum(
+        "bk,kl->bl", w_diff, jnp.asarray(kernels),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, L)
+    x = _edge_pad(audio, half)
+    L = 2 * half + 1
+    block = _auto_block(L - 1, 8, 4096, 32768)
+    if block is not None:
+        y = overlap_save_valid(x, combined[:, None, :], block)
+    else:
+        n = _next_pow2(x.shape[-1])
+        X = jnp.fft.rfft(x, n=n)
+        H = jnp.fft.rfft(combined[:, None, ::-1], n=n)
+        y = jnp.fft.irfft(X * H, n=n)[..., L - 1 : L - 1 + audio.shape[-1]]
+    return weights[:, -1, None, None] * audio + y[..., : audio.shape[-1]]
 
 
 # -----------------------------------------------------------------------------

@@ -62,18 +62,25 @@ def time_stretch(
     factor: float,
     window_length: int = 2048,
     hop_length: int = None,
+    method: str = "matmul",
 ) -> jnp.ndarray:
     """Stretch ``(..., T)`` audio in time by ``factor`` (sox ``tempo``
     semantics: factor > 1 is faster/shorter). Output length is
-    ``round(T / factor)``."""
+    ``round(T / factor)``.
+
+    ``method`` selects the STFT/ISTFT evaluation; the default MXU matmul
+    path is ~1.5x faster on TPU at ~1e-5 accuracy — far below the phase
+    vocoder's own approximation error.
+    """
     if hop_length is None:
         hop_length = window_length // 4
     T = audio.shape[-1]
     out_len = int(round(T / factor))
-    spec = _fft.stft(audio, window_length, hop_length, "hann")
+    spec = _fft.stft(audio, window_length, hop_length, "hann", method=method)
     stretched = phase_vocoder(spec, factor, hop_length, window_length)
     return _fft.istft(
-        stretched, window_length, hop_length, "hann", length=out_len
+        stretched, window_length, hop_length, "hann", length=out_len,
+        method=method,
     )
 
 
@@ -83,14 +90,19 @@ def pitch_shift(
     sample_rate: int,
     window_length: int = 2048,
     hop_length: int = None,
+    method: str = "matmul",
 ) -> jnp.ndarray:
     """Shift pitch by ``n_semitones`` keeping duration (sox ``pitch``
     semantics). Stretch by ``2**(-n/12)`` then resample back."""
     T = audio.shape[-1]
     rate = 2.0 ** (-float(n_semitones) / 12.0)
-    stretched = time_stretch(audio, rate, window_length, hop_length)
-    # resample from sample_rate/rate to sample_rate with a rational approx
-    frac = Fraction(rate).limit_denominator(1000)
+    stretched = time_stretch(audio, rate, window_length, hop_length, method)
+    # Resample from sample_rate/rate to sample_rate with a rational
+    # approximation. Denominator 200 keeps the pitch-ratio error < 1e-4
+    # (< 0.2 cents, inaudible) while bounding the polyphase bank to ~200
+    # phases; 1000 gave ~900-phase banks whose strided conv dominated the
+    # whole pitch_shift on TPU.
+    frac = Fraction(rate).limit_denominator(200)
     old_sr, new_sr = frac.denominator, frac.numerator
     out = _resample.resample(stretched, old_sr, new_sr)
     if out.shape[-1] < T:

@@ -29,6 +29,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the chain + Pallas meter cost ~5 min
+    # of XLA/Mosaic compile on the tunneled TPU; cached reruns skip it.
+    jax.config.update(
+        "jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     sys.path.insert(0, str(Path(__file__).parent / "tests"))
     from fixtures import build_fixture_tree
 
@@ -38,6 +45,11 @@ def main():
     from audiotools_tpu.ops import fft as F
     from audiotools_tpu.ops import loudness as L
     from audiotools_tpu.ops import stretch as S
+
+    # Fast BS.1770 meter: 512-tap composed FIR on the Pallas MXU kernel
+    # (v5e: 9.2 ms vs 17.6 ms per batch-64 meter; three meters per chain
+    # step). dLUFS vs the exact meter is 7e-5.
+    L.set_fast_meter(True)
 
     root = Path(tempfile.mkdtemp())
     build_fixture_tree(root)
