@@ -35,7 +35,7 @@ __all__ = ["fir_conv_causal"]
 BLK = 128        # output tile width (lane dim)
 ROWS = 64        # output rows per grid step (sublane dim of the matmul)
 CHUNK = BLK * ROWS  # outputs per grid step
-MAX_TAPS = 2048  # hardware-validated kernel-length envelope (see docstring)
+MAX_TAPS = 8192  # hardware-validated kernel-length envelope (see docstring)
 
 
 def _round_up(x, m):
@@ -44,10 +44,16 @@ def _round_up(x, m):
 
 @functools.lru_cache(maxsize=None)
 def _toeplitz_blocks(h_key):
-    """M[q, c, j] = h[KP + j - (q*128 + c)] (zero out of range)."""
+    """M[q, c, j] = h[KP + j - (q*128 + c)] (zero out of range).
+
+    ``KP`` is rounded to 8 blocks (1024) so the per-tile DMA span
+    ``S_blk = ROWS + KP // BLK`` stays a multiple of the f32 sublane tile
+    (8): an unaligned 94-row span (3723-tap kernel) deterministically
+    faulted the TPU runtime, while 72/80/96-row spans are fine.
+    """
     h = np.asarray(h_key, dtype=np.float32)
     K = len(h)
-    KP = _round_up(K - 1, BLK) if K > 1 else 0
+    KP = _round_up(K - 1, 8 * BLK) if K > 1 else 0
     W_blk = KP // BLK + 1
     M = np.zeros((W_blk, BLK, BLK), dtype=np.float32)
     for q in range(W_blk):
@@ -96,9 +102,10 @@ def fir_conv_causal(x: jnp.ndarray, h: np.ndarray, interpret: bool = False):
     MXU instead of the VPU FFT path.
 
     Hardware-validated envelope: kernels up to ``MAX_TAPS`` (v5e-measured
-    5e-7 rel err, 2.3x faster than the FFT path at 1023 taps). A 3723-tap
-    kernel compiled but faulted the TPU runtime (interpret mode is correct,
-    so the logic holds); longer kernels raise until that is root-caused.
+    ~6e-7 rel err at 1023/2048/3723/8192 taps). Cost grows linearly with
+    taps while the FFT path is ~flat, so the crossover is ~8k taps
+    (1023 taps: 5.3 ms vs 12.3 ms FFT; 8192 taps: 15.8 vs 16.4) — prefer
+    ``filters.causal_fft_conv1d`` beyond that.
     """
     h = np.asarray(h, dtype=np.float32)
     if len(h) > MAX_TAPS and not interpret:
