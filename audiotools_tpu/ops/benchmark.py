@@ -30,7 +30,9 @@ def device_time(fn, arg, iters: int = 10, warmup: bool = True) -> float:
             bump = sum(jnp.sum(jnp.real(l)).astype(jnp.float32) for l in leaves)
             return carry + (1e-12 * bump).astype(carry.dtype)
 
-        return jax.lax.fori_loop(0, iters, body, a).sum()
+        # sync on a REAL scalar: complex transfers are unimplemented over
+        # tunneled device transports
+        return jnp.real(jax.lax.fori_loop(0, iters, body, a)).sum()
 
     if warmup:
         float(loop(arg))

@@ -219,10 +219,18 @@ def stft(
     x = jnp.pad(x, ((0, 0), (cpad, cpad)), mode="reflect")
 
     frames = _frame(x, window_length, hop_length)  # (B, n_frames, n_fft)
-    if method == "matmul":
+    if method in ("matmul", "matmul_bf16"):
+        # "matmul": 3-pass bf16 (HIGH) ~1e-5 rel, 10.9 ms vs 16.5 ms FFT
+        # at batch-64 x 5 s on v5e. "matmul_bf16": single-pass ~3.4e-3
+        # rel, 9.6 ms — for loss stacks that tolerate bf16 magnitudes.
+        prec = (
+            jax.lax.Precision.HIGH
+            if method == "matmul"
+            else jax.lax.Precision.DEFAULT
+        )
         C, S = _dft_matrices(window_type, window_length)
-        re = jnp.dot(frames, jnp.asarray(C), precision=jax.lax.Precision.HIGH)
-        im = jnp.dot(frames, jnp.asarray(S), precision=jax.lax.Precision.HIGH)
+        re = jnp.dot(frames, jnp.asarray(C), precision=prec)
+        im = jnp.dot(frames, jnp.asarray(S), precision=prec)
         spec = jax.lax.complex(re, im)  # (B, n_frames, n_freq)
     else:
         window = jnp.asarray(get_window(window_type, window_length))
