@@ -216,14 +216,23 @@ class AudioSignal(
         if loudness_cutoff is None:
             excerpt = cls.excerpt(audio_path, state=state, **kwargs)
         else:
+            from ..ops.loudness import host_loudness
+
             loudness = -np.inf
             num_try = 0
             while loudness <= loudness_cutoff:
                 excerpt = cls.excerpt(audio_path, state=state, **kwargs)
-                loudness = excerpt.loudness()
+                # scipy/numpy meter: this loop runs in dataloader workers
+                # on host, where the jittable meter is ~150x slower
+                # (profilers/profile_load.py); numerics match to ~4e-6.
+                loudness = host_loudness(
+                    np.asarray(excerpt.audio_data), excerpt.sample_rate
+                )
                 num_try += 1
                 if num_tries is not None and num_try >= num_tries:
                     break
+            # cache, as LoudnessMixin.loudness would (loudness.py:314-318)
+            excerpt._loudness = jnp.asarray(loudness)
         return excerpt
 
     @classmethod

@@ -326,6 +326,79 @@ def integrated_loudness(
     return lufs.astype(jnp.float32)
 
 
+def host_loudness(
+    audio_data: np.ndarray,
+    sample_rate: int,
+    filter_class: str = "K-weighting",
+    block_size: float = 0.400,
+) -> np.ndarray:
+    """Host-side (numpy/scipy) BS.1770 meter for ``(nb, nch, nt)`` audio.
+
+    Same numerics as ``loudness()`` but built on ``scipy.signal.lfilter``
+    (exact IIR, C loop) and numpy gating — the right tool on the host CPU,
+    where the jittable meter costs ~500 ms per call and this one ~4 ms.
+    Used by the data-loading path (``salient_excerpt`` loudness cutoff,
+    reference audio_signal.py:227-286), which runs in dataloader workers.
+    """
+    from scipy.signal import lfilter
+
+    data = np.asarray(audio_data, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[None, None, :]
+    elif data.ndim == 2:
+        data = data[None, ...]
+    nb, nch, nt = data.shape
+
+    min_len = int(0.5 * sample_rate)
+    if nt < min_len:
+        data = np.pad(data, ((0, 0), (0, 0), (0, min_len - nt)))
+        nt = min_len
+
+    filtered = data
+    for (b, a), gain in design_filters(sample_rate, filter_class):
+        filtered = gain * lfilter(b, a, filtered, axis=-1)
+
+    G = CHANNEL_GAINS[:nch].astype(np.float64)
+    T_g = block_size
+    Gamma_a = -70.0
+    kernel = int(T_g * sample_rate)
+    stride = int(T_g * sample_rate * 0.25)
+    n_frames = math.ceil((max(nt, kernel) - kernel) / stride) + 1
+    tgt = (n_frames - 1) * stride + kernel
+    padded = np.pad(filtered, ((0, 0), (0, 0), (0, tgt - nt)))
+    idx = (
+        np.arange(n_frames)[:, None] * stride + np.arange(kernel)[None, :]
+    )
+    unfolded = padded[..., idx]  # (nb, nch, n_frames, kernel)
+
+    z = np.sum(unfolded * unfolded, axis=-1) / (T_g * sample_rate)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l = -0.691 + 10.0 * np.log10(
+            np.sum(G[None, :, None] * z, axis=1, keepdims=True)
+        )
+        l = np.broadcast_to(l, z.shape)
+
+        above_abs = l > Gamma_a
+        count_abs = above_abs.sum(axis=2)
+        z_avg_abs = np.where(above_abs, z, 0.0).sum(axis=2) / count_abs
+        Gamma_r = (
+            -0.691 + 10.0 * np.log10(np.sum(z_avg_abs * G[None, :], axis=-1)) - 10.0
+        )[:, None, None]
+
+        above_both = above_abs & (l > Gamma_r)
+        count_both = above_both.sum(axis=2)
+        z_avg_gated = np.where(above_both, z, 0.0).sum(axis=2) / count_both
+
+        z_avg_gated = np.nan_to_num(
+            z_avg_gated,
+            nan=0.0,
+            posinf=np.finfo(np.float32).max,
+            neginf=np.finfo(np.float32).min,
+        )
+        lufs = -0.691 + 10.0 * np.log10(np.sum(G[None, :] * z_avg_gated, axis=1))
+    return np.maximum(lufs, MIN_LOUDNESS).astype(np.float32)
+
+
 def loudness(
     audio_data: jnp.ndarray,
     sample_rate: int,

@@ -138,3 +138,47 @@ def test_filter_classes_exist():
         m = Meter(44100, filter_class=fc)
         x = np.random.RandomState(0).randn(1, 16000, 1).astype(np.float32) * 0.1
         assert np.isfinite(float(m.integrated_loudness(jnp.asarray(x))))
+
+
+def test_host_meter_matches_device_meter():
+    """The scipy/numpy host meter (used by salient_excerpt in dataloader
+    workers) must match the jittable meter."""
+    import jax.numpy as jnp
+
+    from audiotools_tpu.ops import loudness as L
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randn(2, 1, 88200).astype(np.float32) * 0.1,
+        rng.randn(1, 2, 44100).astype(np.float32) * 0.01,
+        np.zeros((1, 1, 44100), np.float32),
+        (np.sin(2 * np.pi * 997 * np.arange(88200) / 44100) * 10 ** (-24 / 20))
+        .astype(np.float32)[None, None],
+    ]
+    for x in cases:
+        a = np.asarray(L.loudness(jnp.asarray(x), 44100))
+        b = L.host_loudness(x, 44100)
+        assert np.abs(a - b).max() < 2e-3
+
+
+def test_salient_excerpt_caches_host_loudness(tmp_path):
+    from audiotools_tpu import AudioSignal
+    from audiotools_tpu.io import write_wav
+
+    rng = np.random.RandomState(0)
+    x = np.zeros((1, 44100 * 10), np.float32)
+    x[0, 44100 * 4 : 44100 * 6] = rng.randn(44100 * 2).astype(np.float32) * 0.3
+    p = tmp_path / "sparse.wav"
+    write_wav(p, x, 44100)
+
+    sig = AudioSignal.salient_excerpt(
+        p, loudness_cutoff=-30, duration=1.0, state=3, num_tries=50
+    )
+    # the cutoff loop found the loud region, and the cached loudness
+    # matches a fresh device-meter run
+    cached = np.asarray(sig._loudness)
+    assert cached.max() > -30
+    sig2 = sig.clone()
+    sig2._loudness = None
+    fresh = np.asarray(sig2.loudness())
+    assert np.abs(cached - fresh).max() < 2e-3

@@ -40,6 +40,9 @@ def main():
         print(f"native batch: {1000*t_nat/64:.2f} ms / 2s excerpt "
               f"({t_py/t_nat:.1f}x)")
 
+    # warm up (first call pays jax-CPU dispatch compilation + scipy import)
+    AudioSignal.salient_excerpt(p, loudness_cutoff=-40, duration=2.0, state=123)
+
     t0 = time.perf_counter()
     n_tries = 0
     for seed in range(8):
