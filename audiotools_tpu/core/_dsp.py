@@ -102,7 +102,7 @@ class DSPMixin:
         return self
 
     def low_pass(self, cutoffs, zeros: int = 51, min_cutoff_hz: float = None,
-                 block_size: int = None):
+                 block_size="auto"):
         """Batched low-pass with per-item cutoffs in Hz
         (reference dsp.py:153-183).
 
@@ -120,7 +120,7 @@ class DSPMixin:
         return self
 
     def high_pass(self, cutoffs, zeros: int = 51, min_cutoff_hz: float = None,
-                  block_size: int = None):
+                  block_size="auto"):
         """Batched high-pass with per-item cutoffs in Hz
         (reference dsp.py:185-215)."""
         cutoffs = util.ensure_tensor(cutoffs, 2, self.batch_size)

@@ -223,8 +223,11 @@ class EffectMixin:
                 raise RuntimeError("MP3 codec libraries not available")
             out = []
             T = self.signal_length
+            # one device->host transfer for the whole batch (per-item
+            # fetches pay one tunneled round trip each)
+            host = np.asarray(self.audio_data)
             for i in range(self.batch_size):
-                orig = np.asarray(self.audio_data[i])
+                orig = host[i]
                 with tempfile.NamedTemporaryFile(suffix=".mp3") as f:
                     codecs.write_mp3(f.name, orig, self.sample_rate)
                     dec, _ = codecs.read_mp3(f.name)
@@ -251,12 +254,19 @@ class EffectMixin:
 
             if not (codecs.vorbis_encode_available() and codecs.vorbis_available()):
                 raise RuntimeError("Vorbis codec libraries not available")
+            # The reference maps the preset's `compression` to sox/vorbis
+            # VBR quality (effects.py:366-376; presets use -1 = lowest
+            # quality, heavy artifacts). libvorbisenc quality is the same
+            # scale divided by 10, clamped to its [-0.1, 1.0] range.
+            compression = kwargs.get("compression", 3.0)
+            quality = float(np.clip(compression / 10.0, -0.1, 1.0))
             out = []
             T = self.signal_length
+            host = np.asarray(self.audio_data)
             for i in range(self.batch_size):
-                orig = np.asarray(self.audio_data[i])
+                orig = host[i]
                 with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
-                    codecs.write_ogg(f.name, orig, self.sample_rate)
+                    codecs.write_ogg(f.name, orig, self.sample_rate, quality)
                     dec, _ = codecs.read_ogg(f.name)
                 if dec.shape[-1] < T:
                     dec = np.pad(dec, ((0, 0), (0, T - dec.shape[-1])))

@@ -232,9 +232,11 @@ def stft(
         re = jnp.dot(frames, jnp.asarray(C), precision=prec)
         im = jnp.dot(frames, jnp.asarray(S), precision=prec)
         spec = jax.lax.complex(re, im)  # (B, n_frames, n_freq)
-    else:
+    elif method == "fft":
         window = jnp.asarray(get_window(window_type, window_length))
         spec = jnp.fft.rfft(frames * window, axis=-1)  # (B, n_frames, n_freq)
+    else:
+        raise ValueError(f"Unknown stft method: {method!r}")
     spec = jnp.swapaxes(spec, -1, -2)  # (B, n_freq, n_frames)
 
     if match_stride:
@@ -303,22 +305,29 @@ def istft(
         nt = nt + 4
 
     window_np = get_window(window_type, window_length)
-    if method == "matmul":
+    if method in ("matmul", "matmul_bf16"):
         # MXU inverse DFT fused with the synthesis window (counterpart of
-        # stft(method="matmul"))
+        # stft(method="matmul"/"matmul_bf16"))
+        prec = (
+            jax.lax.Precision.HIGH
+            if method == "matmul"
+            else jax.lax.Precision.DEFAULT
+        )
         Ci, Si = _idft_matrices(window_type, window_length)
         S = jnp.swapaxes(spec, -1, -2)  # (B, nt, n_freq)
         frames = jnp.dot(
-            jnp.real(S), jnp.asarray(Ci), precision=jax.lax.Precision.HIGH
+            jnp.real(S), jnp.asarray(Ci), precision=prec
         ) + jnp.dot(
-            jnp.imag(S), jnp.asarray(Si), precision=jax.lax.Precision.HIGH
+            jnp.imag(S), jnp.asarray(Si), precision=prec
         )  # (B, nt, n_fft), window already applied
-    else:
+    elif method == "fft":
         window = jnp.asarray(window_np)
         frames = jnp.fft.irfft(
             jnp.swapaxes(spec, -1, -2), n=window_length, axis=-1
         )
         frames = frames * window  # (B, nt, n_fft)
+    else:
+        raise ValueError(f"Unknown istft method: {method!r}")
 
     out_len = window_length + hop_length * (nt - 1)
     y = _overlap_add(frames, hop_length, out_len)

@@ -239,6 +239,70 @@ def apply_k_weighting(
     return causal_fft_conv1d(audio, jnp.asarray(kernel), block_size=block)
 
 
+def _gated_lufs(filtered, rate, block_size, xp):
+    """BS.1770-4 gating (eqs. 1-7) over weighted ``(nb, nch, nt)`` audio.
+
+    One implementation shared by the jittable meter (``xp=jnp``) and the
+    host meter (``xp=np``) so the gating math cannot drift between them
+    (reference loudness.py:164-247).
+    """
+    nb, nch, nt = filtered.shape
+    G = xp.asarray(CHANNEL_GAINS[:nch], dtype=filtered.dtype)
+    T_g = block_size
+    Gamma_a = -70.0
+
+    kernel = int(T_g * rate)
+    stride = int(T_g * rate * 0.25)  # 75% overlap (loudness.py:164-174)
+    # julius.core.unfold: ceil frame count with zero padding at the end
+    n_frames = math.ceil((max(nt, kernel) - kernel) / stride) + 1
+    tgt = (n_frames - 1) * stride + kernel
+    padded = xp.pad(filtered, ((0, 0), (0, 0), (0, tgt - nt)))
+    idx = (
+        np.arange(n_frames, dtype=np.int32)[:, None] * stride
+        + np.arange(kernel, dtype=np.int32)[None, :]
+    )
+    unfolded = padded[..., idx]  # (nb, nch, n_frames, kernel)
+
+    # mean square power per block, per channel (eq. 1)
+    z = xp.sum(unfolded * unfolded, axis=-1) / (T_g * rate)
+    # block loudness (eq. 2)
+    l = -0.691 + 10.0 * xp.log10(
+        xp.sum(G[None, :, None] * z, axis=1, keepdims=True)
+    )
+    l = xp.broadcast_to(l, z.shape)
+
+    # absolute gate (eq. 5-6)
+    above_abs = l > Gamma_a
+    z_abs = xp.where(above_abs, z, 0.0)
+    count_abs = xp.sum(above_abs, axis=2)
+    z_avg_abs = xp.sum(z_abs, axis=2) / count_abs  # may be nan/inf like reference
+
+    Gamma_r = (
+        -0.691
+        + 10.0 * xp.log10(xp.sum(z_avg_abs * G[None, :], axis=-1))
+        - 10.0
+    )
+    Gamma_r = Gamma_r[:, None, None]
+
+    # relative + absolute gate (eq. 7)
+    above_both = above_abs & (l > Gamma_r)
+    z_both = xp.where(above_both, z, 0.0)
+    count_both = xp.sum(above_both, axis=2)
+    z_avg_gated = xp.sum(z_both, axis=2) / count_both
+
+    # nan/inf handling (reference loudness.py:238-244)
+    z_avg_gated = xp.where(xp.isnan(z_avg_gated), 0.0, z_avg_gated)
+    z_avg_gated = xp.where(
+        z_avg_gated == xp.inf, xp.finfo(xp.float32).max, z_avg_gated
+    )
+    z_avg_gated = xp.where(
+        z_avg_gated == -xp.inf, xp.finfo(xp.float32).min, z_avg_gated
+    )
+
+    lufs = -0.691 + 10.0 * xp.log10(xp.sum(G[None, :] * z_avg_gated, axis=1))
+    return lufs.astype(xp.float32)
+
+
 def integrated_loudness(
     data: jnp.ndarray,
     rate: int,
@@ -270,60 +334,7 @@ def integrated_loudness(
         conv_method,
     )  # (nb, nch, nt)
 
-    G = jnp.asarray(CHANNEL_GAINS[:nch])
-    T_g = block_size
-    Gamma_a = -70.0
-
-    kernel = int(T_g * rate)
-    stride = int(T_g * rate * 0.25)  # 75% overlap (loudness.py:164-174)
-    # julius.core.unfold: ceil frame count with zero padding at the end
-    n_frames = math.ceil((max(nt, kernel) - kernel) / stride) + 1
-    tgt = (n_frames - 1) * stride + kernel
-    padded = jnp.pad(filtered, ((0, 0), (0, 0), (0, tgt - nt)))
-    idx = (
-        np.arange(n_frames, dtype=np.int32)[:, None] * stride
-        + np.arange(kernel, dtype=np.int32)[None, :]
-    )
-    unfolded = padded[..., idx]  # (nb, nch, n_frames, kernel)
-
-    # mean square power per block, per channel (eq. 1)
-    z = jnp.sum(unfolded * unfolded, axis=-1) / (T_g * rate)  # (nb, nch, nframes)
-    # block loudness (eq. 2)
-    l = -0.691 + 10.0 * jnp.log10(
-        jnp.sum(G[None, :, None] * z, axis=1, keepdims=True)
-    )
-    l = jnp.broadcast_to(l, z.shape)
-
-    # absolute gate (eq. 5-6)
-    above_abs = l > Gamma_a
-    z_abs = jnp.where(above_abs, z, 0.0)
-    count_abs = jnp.sum(above_abs, axis=2)
-    z_avg_abs = jnp.sum(z_abs, axis=2) / count_abs  # may be nan/inf like reference
-
-    Gamma_r = (
-        -0.691
-        + 10.0 * jnp.log10(jnp.sum(z_avg_abs * G[None, :], axis=-1))
-        - 10.0
-    )
-    Gamma_r = Gamma_r[:, None, None]
-
-    # relative + absolute gate (eq. 7)
-    above_both = above_abs & (l > Gamma_r)
-    z_both = jnp.where(above_both, z, 0.0)
-    count_both = jnp.sum(above_both, axis=2)
-    z_avg_gated = jnp.sum(z_both, axis=2) / count_both
-
-    # nan/inf handling (reference loudness.py:238-244)
-    z_avg_gated = jnp.where(jnp.isnan(z_avg_gated), 0.0, z_avg_gated)
-    z_avg_gated = jnp.where(
-        z_avg_gated == jnp.inf, jnp.finfo(jnp.float32).max, z_avg_gated
-    )
-    z_avg_gated = jnp.where(
-        z_avg_gated == -jnp.inf, jnp.finfo(jnp.float32).min, z_avg_gated
-    )
-
-    lufs = -0.691 + 10.0 * jnp.log10(jnp.sum(G[None, :] * z_avg_gated, axis=1))
-    return lufs.astype(jnp.float32)
+    return _gated_lufs(filtered, rate, block_size, jnp)
 
 
 def host_loudness(
@@ -358,44 +369,8 @@ def host_loudness(
     for (b, a), gain in design_filters(sample_rate, filter_class):
         filtered = gain * lfilter(b, a, filtered, axis=-1)
 
-    G = CHANNEL_GAINS[:nch].astype(np.float64)
-    T_g = block_size
-    Gamma_a = -70.0
-    kernel = int(T_g * sample_rate)
-    stride = int(T_g * sample_rate * 0.25)
-    n_frames = math.ceil((max(nt, kernel) - kernel) / stride) + 1
-    tgt = (n_frames - 1) * stride + kernel
-    padded = np.pad(filtered, ((0, 0), (0, 0), (0, tgt - nt)))
-    idx = (
-        np.arange(n_frames)[:, None] * stride + np.arange(kernel)[None, :]
-    )
-    unfolded = padded[..., idx]  # (nb, nch, n_frames, kernel)
-
-    z = np.sum(unfolded * unfolded, axis=-1) / (T_g * sample_rate)
     with np.errstate(divide="ignore", invalid="ignore"):
-        l = -0.691 + 10.0 * np.log10(
-            np.sum(G[None, :, None] * z, axis=1, keepdims=True)
-        )
-        l = np.broadcast_to(l, z.shape)
-
-        above_abs = l > Gamma_a
-        count_abs = above_abs.sum(axis=2)
-        z_avg_abs = np.where(above_abs, z, 0.0).sum(axis=2) / count_abs
-        Gamma_r = (
-            -0.691 + 10.0 * np.log10(np.sum(z_avg_abs * G[None, :], axis=-1)) - 10.0
-        )[:, None, None]
-
-        above_both = above_abs & (l > Gamma_r)
-        count_both = above_both.sum(axis=2)
-        z_avg_gated = np.where(above_both, z, 0.0).sum(axis=2) / count_both
-
-        z_avg_gated = np.nan_to_num(
-            z_avg_gated,
-            nan=0.0,
-            posinf=np.finfo(np.float32).max,
-            neginf=np.finfo(np.float32).min,
-        )
-        lufs = -0.691 + 10.0 * np.log10(np.sum(G[None, :] * z_avg_gated, axis=1))
+        lufs = _gated_lufs(filtered, sample_rate, block_size, np)
     return np.maximum(lufs, MIN_LOUDNESS).astype(np.float32)
 
 

@@ -98,11 +98,16 @@ def pitch_shift(
     rate = 2.0 ** (-float(n_semitones) / 12.0)
     stretched = time_stretch(audio, rate, window_length, hop_length, method)
     # Resample from sample_rate/rate to sample_rate with a rational
-    # approximation. Denominator 200 keeps the pitch-ratio error < 1e-4
-    # (< 0.2 cents, inaudible) while bounding the polyphase bank to ~200
-    # phases; 1000 gave ~900-phase banks whose strided conv dominated the
-    # whole pitch_shift on TPU.
-    frac = Fraction(rate).limit_denominator(200)
+    # approximation: the smallest denominator that keeps the pitch-ratio
+    # error under 2e-5 (< 0.035 cents). Small denominators mean small
+    # polyphase banks (e.g. +/-2 semitones -> 49/55); some intervals
+    # need larger ones (e.g. +/-7 semitones, whose best small fraction
+    # 2/3 is ~2 cents off).
+    frac = Fraction(rate)
+    for cap in (60, 125, 250, 500, 1000, 5000):
+        frac = Fraction(rate).limit_denominator(cap)
+        if abs(float(frac) - rate) / rate < 2e-5:
+            break
     old_sr, new_sr = frac.denominator, frac.numerator
     out = _resample.resample(stretched, old_sr, new_sr)
     if out.shape[-1] < T:

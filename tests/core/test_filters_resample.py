@@ -195,11 +195,16 @@ def test_split_bands_block_matches_full():
 
 
 def test_low_pass_concrete_cutoff_tightens_support():
-    """Concrete cutoffs >= min_cutoff_hz give identical output to the
-    wide-support default (the sinc taps outside the tight support are
-    zero), while building a much smaller kernel."""
+    """A tight static support gives identical output to a much wider one
+    (the sinc taps outside the per-cutoff support are zero). The wide run
+    uses traced cutoffs under jit so the concrete-cutoff tightening can't
+    silently shrink its 400 Hz support."""
+    import jax
+
     rng = np.random.RandomState(6)
     x = jnp.asarray(rng.randn(1, 1, 8000).astype(np.float32))
-    y_wide = FL.low_pass(x, jnp.asarray([4000.0]), 44100, min_cutoff_hz=3999.0)
-    y_tight = FL.low_pass(x, jnp.asarray([4000.0]), 44100)  # concrete -> 4k support
-    assert np.abs(np.asarray(y_wide - y_tight)).max() < 1e-6
+    wide = jax.jit(
+        lambda a, c: FL.low_pass(a, c, 44100, min_cutoff_hz=400.0)
+    )(x, jnp.asarray([4000.0]))
+    tight = FL.low_pass(x, jnp.asarray([4000.0]), 44100)  # concrete -> 4k support
+    assert np.abs(np.asarray(wide - tight)).max() < 1e-6
