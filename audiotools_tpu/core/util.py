@@ -168,11 +168,22 @@ def find_audio(folder: str, ext: List[str] = AUDIO_EXTENSIONS):
 def read_sources(
     sources: List[str],
     remove_empty: bool = True,
-    relative_path: str = "",
+    relative_path: str = None,
     ext: List[str] = AUDIO_EXTENSIONS,
 ):
     """Convert folders/CSVs into a list of lists of {"path": ...} rows
-    (reference util.py:254-299)."""
+    (reference util.py:254-299).
+
+    ``relative_path`` anchors relative CSV paths; when not given it
+    defaults to the ``PATH_TO_DATA`` environment variable, making the
+    portable-manifest convention documented by the reference
+    (transforms.py:724-727) actually work without per-call plumbing.
+    Absolute CSV paths are unaffected.
+    """
+    import os
+
+    if relative_path is None:
+        relative_path = os.getenv("PATH_TO_DATA", "")
     files = []
     relative_path = Path(relative_path)
     for source in sources:

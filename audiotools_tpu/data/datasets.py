@@ -43,7 +43,7 @@ class AudioLoader:
         sources: List[str] = None,
         weights: List[float] = None,
         transform: Callable = None,
-        relative_path: str = "",
+        relative_path: str = None,
         ext: List[str] = util.AUDIO_EXTENSIONS,
         shuffle: bool = True,
         shuffle_state: int = 0,

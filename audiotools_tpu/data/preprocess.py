@@ -30,17 +30,21 @@ def create_csv(audio_files: list, output_csv: Path, loudness: bool = False, data
         for af in audio_files:
             row = {}
             af = Path(af)
-            row["path"] = af
-            if loudness:
-                if af.name == "":
+            if af.name == "":
+                # empty row for multitrack syncing (reference
+                # preprocess.py:64-67 writes path="" and loudness=-inf)
+                row["path"] = ""
+                if loudness:
                     row["loudness"] = -float("inf")
-                else:
-                    # the reference measures with ffmpeg's r128 filter
-                    # (ffmpeg.py:92-114); natively we use the BS.1770 meter
-                    import numpy as np
+                writer.writerow(row)
+                continue
+            if loudness:
+                # the reference measures with ffmpeg's r128 filter
+                # (ffmpeg.py:92-114); natively we use the BS.1770 meter
+                import numpy as np
 
-                    sig = AudioSignal(af)
-                    row["loudness"] = float(np.asarray(sig.ffmpeg_loudness())[0])
+                sig = AudioSignal(af)
+                row["loudness"] = float(np.asarray(sig.ffmpeg_loudness())[0])
             try:
                 row["path"] = str(af.relative_to(data_path))
             except ValueError:

@@ -1,0 +1,193 @@
+"""Tests for public-surface pieces not covered elsewhere (found by a
+symbol-level audit): create_csv, util.info, io.audio_info, preference
+trackers, ffmpeg shims, profiling annotate, misc helpers."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audiotools_tpu import AudioSignal
+from audiotools_tpu.core import util
+from audiotools_tpu.io import audio_info, write_wav
+from tests.fixtures import speech_like
+
+
+@pytest.fixture()
+def wav_dir(tmp_path):
+    for i in range(3):
+        write_wav(tmp_path / f"f{i}.wav", speech_like(i, 0.5)[None], 44100)
+    return tmp_path
+
+
+def test_create_csv_plain(tmp_path, wav_dir):
+    from audiotools_tpu.data.preprocess import create_csv
+
+    files = sorted(wav_dir.glob("*.wav"))
+    out = tmp_path / "m.csv"
+    create_csv(files, out, data_path=str(wav_dir))
+    rows = out.read_text().strip().splitlines()
+    assert rows[0] == "path"
+    # paths are relative to data_path
+    assert rows[1] == "f0.wav"
+    assert len(rows) == 4
+
+
+def test_create_csv_with_loudness_and_empty_rows(tmp_path, wav_dir):
+    from audiotools_tpu.data.preprocess import create_csv
+
+    files = sorted(wav_dir.glob("*.wav")) + [""]
+    out = tmp_path / "m.csv"
+    create_csv(files, out, loudness=True, data_path=str(wav_dir))
+    import csv as _csv
+
+    rows = list(_csv.DictReader(open(out)))
+    assert set(rows[0].keys()) == {"path", "loudness"}
+    assert float(rows[0]["loudness"]) < 0  # real LUFS value
+    assert rows[-1]["path"] == "" and float(rows[-1]["loudness"]) == -np.inf
+
+
+def test_create_csv_respects_path_to_data_env(tmp_path, wav_dir, monkeypatch):
+    from audiotools_tpu.data.preprocess import create_csv
+
+    monkeypatch.setenv("PATH_TO_DATA", str(wav_dir))
+    out = tmp_path / "m.csv"
+    create_csv(sorted(wav_dir.glob("*.wav")), out)
+    assert "f1.wav" in out.read_text()
+
+
+def test_util_info_and_audio_info(wav_dir):
+    p = next(iter(sorted(wav_dir.glob("*.wav"))))
+    i = util.info(p)
+    assert i.sample_rate == 44100
+    assert i.num_frames == int(0.5 * 44100)
+    assert abs(i.duration - 0.5) < 1e-6
+    wi = audio_info(p)
+    assert wi.num_channels == 1 and wi.sample_rate == 44100
+
+
+def test_ffprobe_offset_and_codec_native_fallback(wav_dir):
+    from audiotools_tpu.core.ffmpeg import ffprobe_offset_and_codec
+
+    offset, codec = ffprobe_offset_and_codec(str(next(iter(wav_dir.glob("*.wav")))))
+    assert offset == 0.0
+    assert "pcm" in codec
+
+
+def test_r128stats_native(wav_dir):
+    from audiotools_tpu.core.ffmpeg import r128stats
+
+    stats = r128stats(str(next(iter(wav_dir.glob("*.wav")))))
+    assert stats["I"] < 0 and np.isfinite(stats["I"])
+
+
+def test_preference_tracker_js():
+    from audiotools_tpu.preference import load_tracker
+
+    js = load_tracker("name")
+    assert "cookie" in js.lower() or "name" in js
+
+
+def test_profiling_annotate_runs():
+    from audiotools_tpu.ml.profiling import annotate
+
+    with annotate("test-region"):
+        x = jnp.ones(8).sum()
+    assert float(x) == 8.0
+
+
+def test_num_frames_matches_stft():
+    from audiotools_tpu.ops import fft as F
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 22050).astype(np.float32))
+    for ms in (False, True):
+        spec = F.stft(x, 2048, 512, match_stride=ms)
+        assert spec.shape[-1] == F.num_frames(22050, 2048, 512, ms)
+
+
+def test_biquad_cascade_matches_sequential():
+    from audiotools_tpu.ops.filters import biquad, biquad_cascade
+    from audiotools_tpu.ops.loudness import design_filters
+
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 4000).astype(np.float32))
+    stages = design_filters(44100, "K-weighting")
+    y_seq = x
+    for (b, a), g in stages:
+        y_seq = g * biquad(y_seq, jnp.asarray(b), jnp.asarray(a))
+    y_casc = biquad_cascade(
+        x, [(jnp.asarray(b), jnp.asarray(a), g) for (b, a), g in stages]
+    )
+    assert np.abs(np.asarray(y_seq - y_casc)).max() < 1e-6
+
+
+def test_default_matcher_and_aligned_lists():
+    from audiotools_tpu.data.datasets import align_lists, default_matcher
+
+    # matcher = same parent directory (reference datasets.py:138-139)
+    assert default_matcher("spk/x.wav", "spk/y.wav")
+    assert not default_matcher("a/spk/x.wav", "b/spk/x.wav")
+    # second list is missing item "a/2" -> align inserts a "none" row
+    lists = [
+        [{"path": "a/1.wav"}, {"path": "b/2.wav"}],
+        [{"path": "a/1.wav"}],
+    ]
+    aligned = align_lists(lists)
+    assert len(aligned[0]) == len(aligned[1])
+    assert aligned[1][1]["path"] == "none"
+
+
+def test_dist_lower_bound():
+    assert util.dist_lower_bound(("uniform", 3.0, 9.0)) == 3.0
+    assert util.dist_lower_bound(("const", 5)) == 5.0
+    assert util.dist_lower_bound(("choice", [8, 2, 4])) == 2.0
+    assert util.dist_lower_bound(7) == 7.0
+    assert util.dist_lower_bound(("normal", 0, 1), default=1.5) == 1.5
+
+
+def test_set_fast_meter_roundtrip():
+    from audiotools_tpu.ops import loudness as L
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 1, 44100).astype(np.float32) * 0.1)
+    a = np.asarray(L.loudness(x, 44100))
+    try:
+        L.set_fast_meter(True)
+        b = np.asarray(L.loudness(x, 44100))  # CPU: FIR + FFT fallback
+    finally:
+        L.set_fast_meter(False)
+    c = np.asarray(L.loudness(x, 44100))
+    assert np.abs(a - b).max() < 1e-2  # FIR approx vs exact
+    assert np.abs(a - c).max() == 0.0  # restored
+
+
+def test_shard_params_rules_specs():
+    import jax
+    from audiotools_tpu.models.train import shard_params_rules
+    from audiotools_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    spec_for = shard_params_rules(mesh)
+    # conv-style kernel shards output channels on tp; biases replicate
+    kspec = spec_for("encoder/Conv_0/kernel", jnp.zeros((3, 8, 128)))
+    bspec = spec_for("encoder/Conv_0/bias", jnp.zeros((128,)))
+    assert "tp" in str(kspec)
+    assert "tp" not in str(bspec)
+
+
+def test_read_sources_anchors_with_path_to_data(tmp_path, wav_dir, monkeypatch):
+    """CSV manifests with relative paths resolve against PATH_TO_DATA
+    (the reference documents this convention; here it is implemented)."""
+    from audiotools_tpu.data.preprocess import create_csv
+    from audiotools_tpu.data.datasets import AudioLoader
+
+    csvp = tmp_path / "m.csv"
+    create_csv(sorted(wav_dir.glob("*.wav")), csvp, data_path=str(wav_dir))
+    monkeypatch.setenv("PATH_TO_DATA", str(wav_dir))
+    loader = AudioLoader(sources=[str(csvp)])
+    out = loader(np.random.RandomState(0), 44100, duration=0.25)
+    assert out["signal"].shape == (1, 1, int(0.25 * 44100))
+    # explicit relative_path still wins over the env var
+    loader2 = AudioLoader(sources=[str(csvp)], relative_path=str(wav_dir))
+    out2 = loader2(np.random.RandomState(0), 44100, duration=0.25)
+    assert out2["path"] == out["path"]
