@@ -2,10 +2,13 @@
 
 Through remote/tunneled device transports, ``jax.block_until_ready`` and
 small host fetches can measure dispatch or link latency instead of device
-compute. ``device_time`` sidesteps both: it chains ``iters`` evaluations
-of the op inside one jitted ``fori_loop`` (a data dependency forces serial
-execution on device) and syncs once on a scalar, so per-iteration cost is
-pure device time.
+compute, and every program invocation carries a fixed overhead (~30 ms
+measured through the axon tunnel). ``device_time`` sidesteps all of it:
+it chains evaluations of the op inside one jitted ``fori_loop`` (a data
+dependency forces serial execution on device), syncs once on a real
+scalar, and runs the loop at two lengths (N and 2N) — the difference
+cancels the fixed invocation overhead exactly, leaving pure per-iteration
+device time.
 """
 import time
 
@@ -15,13 +18,7 @@ import jax.numpy as jnp
 __all__ = ["device_time"]
 
 
-def device_time(fn, arg, iters: int = 10, warmup: bool = True) -> float:
-    """Average seconds per evaluation of ``fn(arg)`` on device.
-
-    ``fn`` must accept and be perturbable by one array argument (the
-    chaining adds ``1e-12 * sum(output)`` to it between iterations).
-    """
-
+def _timed_loop(fn, arg, iters):
     @jax.jit
     def loop(a):
         def body(i, carry):
@@ -34,9 +31,27 @@ def device_time(fn, arg, iters: int = 10, warmup: bool = True) -> float:
         # tunneled device transports
         return jnp.real(jax.lax.fori_loop(0, iters, body, a)).sum()
 
+    return loop
+
+
+def device_time(fn, arg, iters: int = 10, warmup: bool = True) -> float:
+    """Average seconds per evaluation of ``fn(arg)`` on device.
+
+    ``fn`` must accept and be perturbable by one array argument (the
+    chaining adds ``1e-12 * sum(output)`` to it between iterations).
+    Uses two loop lengths so the fixed program-invocation overhead
+    cancels; the returned value is pure device compute per call.
+    """
+    loop_n = _timed_loop(fn, arg, iters)
+    loop_2n = _timed_loop(fn, arg, 2 * iters)
+
     if warmup:
-        float(loop(arg))
+        float(loop_n(arg))
+        float(loop_2n(arg))
     t0 = time.perf_counter()
-    float(loop(arg))
+    float(loop_n(arg))
     t1 = time.perf_counter()
-    return (t1 - t0) / iters
+    float(loop_2n(arg))
+    t2 = time.perf_counter()
+    per_iter = ((t2 - t1) - (t1 - t0)) / iters
+    return max(per_iter, 0.0)

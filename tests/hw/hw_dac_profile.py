@@ -1,0 +1,77 @@
+"""DAC step breakdown on the real chip: encoder/quantizer/decoder/loss
+forward costs, full step, and bf16-matmul (amp) variants.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 590 python tests/hw/hw_dac_profile.py
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pathlib import Path
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parents[2] / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from audiotools_tpu.models import DAC
+from audiotools_tpu.models.train import codec_loss, make_train_step
+from audiotools_tpu.ops.benchmark import device_time
+
+B, T, SR = 16, 16896, 44100
+print("platform:", jax.devices()[0].platform, flush=True)
+
+model = DAC()
+audio = jnp.asarray(
+    (np.random.RandomState(0).randn(B, 1, T) * 0.1).astype(np.float32)
+)
+params = jax.jit(model.init)(jax.random.PRNGKey(0), audio[:1])
+
+# forward pieces
+def enc(a):
+    return model.apply(params, jnp.swapaxes(a, 1, 2), method=lambda m, x: m.encoder(x))
+
+t_enc = device_time(enc, audio, iters=5)
+print(f"encoder fwd: {t_enc*1e3:.2f} ms", flush=True)
+
+z = jax.jit(enc)(audio)
+
+t_q = device_time(
+    lambda zz: model.apply(params, zz, method=lambda m, x: m.quantizer(x)[0]),
+    z, iters=5,
+)
+print(f"quantizer fwd: {t_q*1e3:.2f} ms", flush=True)
+
+zq = jax.jit(lambda zz: model.apply(params, zz, method=lambda m, x: m.quantizer(x)[0]))(z)
+t_dec = device_time(
+    lambda zz: model.apply(params, zz, method=lambda m, x: m.decoder(x)),
+    zq, iters=5,
+)
+print(f"decoder fwd: {t_dec*1e3:.2f} ms", flush=True)
+
+t_fwd = device_time(lambda a: codec_loss(model, params, a, SR)[0], audio, iters=5)
+print(f"full fwd+loss: {t_fwd*1e3:.2f} ms", flush=True)
+
+opt = optax.adamw(1e-4)
+opt_state = opt.init(params)
+step = make_train_step(model, opt, SR)
+
+def timed_step(a):
+    # consume the UPDATED params so XLA cannot dead-code-eliminate the
+    # backward pass + optimizer update (an earlier version returned only
+    # the loss and measured forward-only 32 ms as if it were the step)
+    p2, o2, m = step(params, opt_state, a)
+    leaves = jax.tree_util.tree_leaves(p2)
+    checksum = sum(jnp.sum(l[..., :1]).astype(jnp.float32) for l in leaves)
+    return m["loss"] + 0.0 * checksum + checksum
+
+t_step = device_time(timed_step, audio, iters=5)
+print(f"train step f32: {t_step*1e3:.2f} ms ({B/t_step:.0f} clips/s)", flush=True)
+
+# bf16 matmul precision (Accelerator amp semantics)
+with jax.default_matmul_precision("bfloat16"):
+    t_amp = device_time(timed_step, audio, iters=5)
+print(f"train step bf16-matmul: {t_amp*1e3:.2f} ms ({B/t_amp:.0f} clips/s)", flush=True)
+print("DONE", flush=True)

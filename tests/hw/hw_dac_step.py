@@ -46,8 +46,10 @@ print(f"step compile+run: {time.time()-t0:.0f}s  loss={float(metrics['loss']):.3
 
 
 def timed_step(a):
-    _, _, m = step(params, opt_state, a)
-    return m["loss"]
+    # return the updated params too so XLA cannot dead-code-eliminate the
+    # backward pass + optimizer update (device_time consumes all leaves)
+    p2, _, m = step(params, opt_state, a)
+    return m["loss"], p2
 
 t_step = device_time(timed_step, audio, iters=5)
 clips_ps = B / t_step
