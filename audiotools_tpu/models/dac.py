@@ -14,7 +14,7 @@ dilated residual units, factorized 8-d codebook lookups with L2-normalized
 codes, straight-through estimation), implemented from scratch in JAX.
 """
 import math
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -40,7 +40,7 @@ class Snake(nn.Module):
         alpha = self.param(
             "alpha", lambda key: jnp.ones((1, 1, self.channels), jnp.float32)
         )
-        return snake(x, alpha)
+        return snake(x, alpha.astype(x.dtype))
 
 
 class ResidualUnit(nn.Module):
@@ -48,6 +48,7 @@ class ResidualUnit(nn.Module):
 
     dim: int
     dilation: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -57,6 +58,7 @@ class ResidualUnit(nn.Module):
             kernel_size=(7,),
             kernel_dilation=(self.dilation,),
             padding="SAME",
+            dtype=self.dtype,
         )(y)
         y = Snake(self.dim)(y)
         # near-zero init on the residual projection keeps the unit close
@@ -66,6 +68,7 @@ class ResidualUnit(nn.Module):
             self.dim,
             kernel_size=(1,),
             kernel_init=nn.initializers.normal(1e-2),
+            dtype=self.dtype,
         )(y)
         return x + y
 
@@ -73,17 +76,19 @@ class ResidualUnit(nn.Module):
 class EncoderBlock(nn.Module):
     dim: int
     stride: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         for dilation in (1, 3, 9):
-            x = ResidualUnit(self.dim // 2, dilation)(x)
+            x = ResidualUnit(self.dim // 2, dilation, dtype=self.dtype)(x)
         x = Snake(self.dim // 2)(x)
         x = nn.Conv(
             self.dim,
             kernel_size=(2 * self.stride,),
             strides=(self.stride,),
             padding=((math.ceil(self.stride / 2),) * 2,),
+            dtype=self.dtype,
         )(x)
         return x
 
@@ -91,6 +96,7 @@ class EncoderBlock(nn.Module):
 class DecoderBlock(nn.Module):
     dim: int
     stride: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -100,9 +106,10 @@ class DecoderBlock(nn.Module):
             kernel_size=(2 * self.stride,),
             strides=(self.stride,),
             padding="SAME",
+            dtype=self.dtype,
         )(x)
         for dilation in (1, 3, 9):
-            x = ResidualUnit(self.dim, dilation)(x)
+            x = ResidualUnit(self.dim, dilation, dtype=self.dtype)(x)
         return x
 
 
@@ -110,35 +117,47 @@ class Encoder(nn.Module):
     d_model: int = 64
     strides: Sequence[int] = (2, 4, 8, 8)
     latent_dim: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         # x: (B, T, 1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         d = self.d_model
-        x = nn.Conv(d, kernel_size=(7,), padding="SAME")(x)
+        x = nn.Conv(d, kernel_size=(7,), padding="SAME", dtype=self.dtype)(x)
         for stride in self.strides:
             d *= 2
-            x = EncoderBlock(d, stride)(x)
+            x = EncoderBlock(d, stride, dtype=self.dtype)(x)
         x = Snake(d)(x)
-        x = nn.Conv(self.latent_dim, kernel_size=(3,), padding="SAME")(x)
-        return x
+        x = nn.Conv(
+            self.latent_dim, kernel_size=(3,), padding="SAME", dtype=self.dtype
+        )(x)
+        # latents return to f32 for the quantizer's codebook math
+        return x.astype(jnp.float32)
 
 
 class Decoder(nn.Module):
     d_model: int = 1024
     strides: Sequence[int] = (8, 8, 4, 2)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z):
-        x = nn.Conv(self.d_model, kernel_size=(7,), padding="SAME")(z)
+        if self.dtype is not None:
+            z = z.astype(self.dtype)
+        x = nn.Conv(
+            self.d_model, kernel_size=(7,), padding="SAME", dtype=self.dtype
+        )(z)
         d = self.d_model
         for stride in self.strides:
             d //= 2
-            x = DecoderBlock(d, stride)(x)
+            x = DecoderBlock(d, stride, dtype=self.dtype)(x)
         x = Snake(d)(x)
-        x = nn.Conv(1, kernel_size=(7,), padding="SAME")(x)
+        x = nn.Conv(1, kernel_size=(7,), padding="SAME", dtype=self.dtype)(x)
         x = jnp.tanh(x)
-        return x
+        # waveform returns to f32 for the loss stack
+        return x.astype(jnp.float32)
 
 
 class VectorQuantize(nn.Module):
@@ -228,6 +247,10 @@ class DAC(BaseModel):
     codebook_size: int = 1024
     codebook_dim: int = 8
     sample_rate: int = 44100
+    dtype: Any = None
+    """Compute dtype for encoder/decoder convs (e.g. ``jnp.bfloat16`` for
+    mixed precision; params stay float32 and the quantizer/loss run in
+    float32 regardless)."""
 
     @property
     def hop_length(self):
@@ -235,13 +258,15 @@ class DAC(BaseModel):
 
     def setup(self):
         self.encoder = Encoder(
-            self.encoder_dim, tuple(self.encoder_rates), self.latent_dim
+            self.encoder_dim, tuple(self.encoder_rates), self.latent_dim,
+            dtype=self.dtype,
         )
         self.quantizer = ResidualVectorQuantize(
             self.latent_dim, self.n_codebooks, self.codebook_size, self.codebook_dim
         )
         self.decoder = Decoder(
-            self.decoder_dim, tuple(reversed(self.encoder_rates))
+            self.decoder_dim, tuple(reversed(self.encoder_rates)),
+            dtype=self.dtype,
         )
 
     def __call__(self, audio: jnp.ndarray, n_quantizers: int = None):
