@@ -1,0 +1,38 @@
+"""End-to-end smoke of examples/train_dac.py incl. checkpoint resume."""
+import runpy
+import sys
+from pathlib import Path
+
+import pytest
+
+
+def _run(tmp_path, steps):
+    argv = [
+        "train_dac.py", "--steps", str(steps), "--batch-size", "8", "--toy",
+        "--duration", "0.2", "--sample-rate", "16000",
+        "--ckpt-every", "2", "--ckpt-dir", str(tmp_path / "ckpt"),
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        ns = runpy.run_path(
+            str(Path(__file__).parents[2] / "examples" / "train_dac.py"),
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = old
+    return ns
+
+
+def test_train_example_runs_and_resumes(tmp_path):
+    _run(tmp_path, steps=2)
+
+    from audiotools_tpu.ml.checkpoint import Checkpointer
+
+    ckpt = Checkpointer(tmp_path / "ckpt")
+    assert ckpt.latest_step() == 2
+
+    # second invocation restores step 2 and continues to 4
+    _run(tmp_path, steps=4)
+    ckpt = Checkpointer(tmp_path / "ckpt")
+    assert ckpt.latest_step() == 4
