@@ -13,7 +13,7 @@ import numpy as np
 from ..core import AudioSignal, STFTParams
 from .distance import l1_loss
 
-__all__ = ["MultiScaleSTFTLoss", "MelSpectrogramLoss", "PhaseLoss", "GANLoss"]
+__all__ = ["MultiScaleSTFTLoss", "MelSpectrogramLoss", "PhaseLoss"]
 
 
 class MultiScaleSTFTLoss:

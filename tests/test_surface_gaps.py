@@ -191,3 +191,22 @@ def test_read_sources_anchors_with_path_to_data(tmp_path, wav_dir, monkeypatch):
     loader2 = AudioLoader(sources=[str(csvp)], relative_path=str(wav_dir))
     out2 = loader2(np.random.RandomState(0), 44100, duration=0.25)
     assert out2["path"] == out["path"]
+
+
+def test_all_exports_resolve():
+    """Every name in each module's __all__ must actually exist (a phantom
+    GANLoss export once broke star-imports)."""
+    import importlib
+    import pkgutil
+
+    import audiotools_tpu
+
+    for m in pkgutil.walk_packages(audiotools_tpu.__path__, "audiotools_tpu."):
+        if ".native." in m.name:
+            continue
+        try:
+            mod = importlib.import_module(m.name)
+        except Exception:
+            continue
+        for name in getattr(mod, "__all__", []):
+            assert hasattr(mod, name), f"{m.name}.__all__ lists missing {name!r}"
