@@ -174,18 +174,19 @@ def read_sources(
     """Convert folders/CSVs into a list of lists of {"path": ...} rows
     (reference util.py:254-299).
 
-    ``relative_path`` anchors relative CSV paths; when not given it
-    defaults to the ``PATH_TO_DATA`` environment variable, making the
-    portable-manifest convention documented by the reference
+    ``relative_path`` anchors relative CSV paths; when not given, CSV
+    rows fall back to the ``PATH_TO_DATA`` environment variable, making
+    the portable-manifest convention documented by the reference
     (transforms.py:724-727) actually work without per-call plumbing.
-    Absolute CSV paths are unaffected.
+    Absolute CSV paths are unaffected, and folder sources are never
+    re-anchored by the env var (their globbed paths are already real).
     """
-    import os
-
-    if relative_path is None:
-        relative_path = os.getenv("PATH_TO_DATA", "")
+    csv_anchor = relative_path
+    if csv_anchor is None:
+        csv_anchor = os.getenv("PATH_TO_DATA", "")
+    csv_anchor = Path(csv_anchor)
     files = []
-    relative_path = Path(relative_path)
+    relative_path = Path(relative_path or "")
     for source in sources:
         source = str(source)
         _files = []
@@ -196,7 +197,7 @@ def read_sources(
                     if remove_empty and x["path"] == "":
                         continue
                     if x["path"] != "":
-                        x["path"] = str(relative_path / x["path"])
+                        x["path"] = str(csv_anchor / x["path"])
                     _files.append(x)
         else:
             for x in find_audio(source, ext=ext):

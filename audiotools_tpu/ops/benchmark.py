@@ -8,7 +8,8 @@ it chains evaluations of the op inside one jitted ``fori_loop`` (a data
 dependency forces serial execution on device), syncs once on a real
 scalar, and runs the loop at two lengths (N and 2N) — the difference
 cancels the fixed invocation overhead exactly, leaving pure per-iteration
-device time.
+device time. The loop bound is a traced argument so both lengths share
+ONE compilation (TPU compiles cost 30 s-3 min each).
 """
 import time
 
@@ -18,9 +19,9 @@ import jax.numpy as jnp
 __all__ = ["device_time"]
 
 
-def _timed_loop(fn, arg, iters):
+def _timed_loop(fn):
     @jax.jit
-    def loop(a):
+    def loop(a, n):
         def body(i, carry):
             out = fn(carry)
             leaves = jax.tree_util.tree_leaves(out)
@@ -29,7 +30,7 @@ def _timed_loop(fn, arg, iters):
 
         # sync on a REAL scalar: complex transfers are unimplemented over
         # tunneled device transports
-        return jnp.real(jax.lax.fori_loop(0, iters, body, a)).sum()
+        return jnp.real(jax.lax.fori_loop(0, n, body, a)).sum()
 
     return loop
 
@@ -40,18 +41,21 @@ def device_time(fn, arg, iters: int = 10, warmup: bool = True) -> float:
     ``fn`` must accept and be perturbable by one array argument (the
     chaining adds ``1e-12 * sum(output)`` to it between iterations).
     Uses two loop lengths so the fixed program-invocation overhead
-    cancels; the returned value is pure device compute per call.
+    cancels; the returned value is pure device compute per call, floored
+    at 1 ns so jitter on near-free ops cannot yield zero (callers divide
+    by the result).
     """
-    loop_n = _timed_loop(fn, arg, iters)
-    loop_2n = _timed_loop(fn, arg, 2 * iters)
+    loop = _timed_loop(fn)
+    n1 = jnp.asarray(iters)
+    n2 = jnp.asarray(2 * iters)
 
     if warmup:
-        float(loop_n(arg))
-        float(loop_2n(arg))
+        float(loop(arg, n1))
+        float(loop(arg, n2))
     t0 = time.perf_counter()
-    float(loop_n(arg))
+    float(loop(arg, n1))
     t1 = time.perf_counter()
-    float(loop_2n(arg))
+    float(loop(arg, n2))
     t2 = time.perf_counter()
     per_iter = ((t2 - t1) - (t1 - t0)) / iters
-    return max(per_iter, 0.0)
+    return max(per_iter, 1e-9)

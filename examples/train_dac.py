@@ -126,23 +126,26 @@ def main(args):
         return metrics
 
     with tracker.live:
-        for i, batch in enumerate(dl):
+        for batch in dl:
             if tracker.step >= args.steps:
                 break
             tracker.step += 1
             train_step(batch)
-            if tracker.step % args.ckpt_every == 0 and accel.local_rank == 0:
+            if tracker.step % args.ckpt_every == 0:
+                # orbax saves of sharded arrays are collective: every
+                # process must enter. data_idx counts GLOBAL samples seen
+                # (tracker.step survives resume; a local loop counter
+                # would roll the resume point backwards).
                 ckpt.save(
                     tracker.step, params, opt_state, tracker=tracker,
-                    data_idx=(i + 1) * args.batch_size,
+                    data_idx=tracker.step * args.batch_size,
                 )
         tracker.done("train", f"finished at step {tracker.step}")
 
-    if accel.local_rank == 0:
-        ckpt.save(
-            tracker.step, params, opt_state, tracker=tracker,
-            data_idx=tracker.step * args.batch_size,
-        )
+    ckpt.save(
+        tracker.step, params, opt_state, tracker=tracker,
+        data_idx=tracker.step * args.batch_size,
+    )
     return tracker
 
 
