@@ -332,6 +332,44 @@ BASE_SIZE = 864
 DEFAULT_FIG_SIZE = (9, 3)
 
 
+def _inset_tick_labels(host_ax, ax, axis: str, color: str, fontsize: float):
+    """Redraw one axis' tick labels as translucent in-plot annotations.
+
+    Tick values come from ``ax`` but the text artists land on ``host_ax``
+    (the figure's first axes) so stacked subplots label once.  The first
+    two ticks and the last are dropped: edge labels would collide with the
+    figure border once the real axes are hidden.
+    """
+    if axis == "y":
+        anchor = ax.get_xlim()[0]  # pin labels to the left edge
+        keep = ax.get_yticks()[2:-1]
+    else:
+        anchor = ax.get_ylim()[0]  # pin labels to the bottom edge
+        keep = ax.get_xticks()[2:-1]
+
+    for value in keep:
+        if axis == "y":
+            xy = (anchor, value)
+            text = f"{value / 1000:2.1f}k"  # Hz -> kHz
+            offset, ha, va = (5, -5), "left", "top"
+        else:
+            xy = (value, anchor)
+            text = f"{value:2.1f}s"
+            offset, ha, va = (5, 5), "center", "bottom"
+        host_ax.annotate(
+            text,
+            xy=xy,
+            xycoords="data",
+            xytext=offset,
+            textcoords="offset points",
+            ha=ha,
+            va=va,
+            color=color,
+            fontsize=fontsize,
+            alpha=0.75,
+        )
+
+
 def format_figure(
     fig_size: tuple = None,
     title: str = None,
@@ -340,79 +378,52 @@ def format_figure(
     format: bool = True,
     font_color: str = "white",
 ):
-    """Prettify spectrogram/waveform plots: inset axes and title
-    (reference util.py:486-591)."""
+    """Borderless audio-plot styling: hide the matplotlib chrome, redraw
+    tick labels *inside* the data area, and optionally inset a boxed title
+    in the top-right corner (behavior of reference util.py:486-591).
+
+    Used by specshow/waveplot/wavespec in ``core/display.py``.  Pass
+    ``format=False`` from those call sites to skip styling entirely.
+    """
     import matplotlib.pyplot as plt
 
-    if fig_size is None:
-        fig_size = DEFAULT_FIG_SIZE
     if not format:
         return
     if fig is None:
         fig = plt.gcf()
-    fig.set_size_inches(*fig_size)
-    axs = fig.axes
+    fig.set_size_inches(*(fig_size or DEFAULT_FIG_SIZE))
+    if not fig.axes:
+        return
+    host_ax = fig.axes[0]
 
-    pixels = (fig.get_size_inches() * fig.dpi)[0]
-    font_scale = pixels / BASE_SIZE
+    # Scale fonts with rendered width so labels stay readable at any dpi.
+    width_px = fig.get_size_inches()[0] * fig.dpi
+    scale = width_px / BASE_SIZE
 
     if format_axes:
-        axs = fig.axes
-
-        for ax in axs:
-            ymin, _ = ax.get_ylim()
-            xmin, _ = ax.get_xlim()
-
-            ticks = ax.get_yticks()
-            for t in ticks[2:-1]:
-                t = axs[0].annotate(
-                    f"{(t / 1000):2.1f}k",
-                    xy=(xmin, t),
-                    xycoords="data",
-                    xytext=(5, -5),
-                    textcoords="offset points",
-                    ha="left",
-                    va="top",
-                    color=font_color,
-                    fontsize=12 * font_scale,
-                    alpha=0.75,
-                )
-
-            ticks = ax.get_xticks()[2:]
-            for t in ticks[:-1]:
-                t = axs[0].annotate(
-                    f"{t:2.1f}s",
-                    xy=(t, ymin),
-                    xycoords="data",
-                    xytext=(5, 5),
-                    textcoords="offset points",
-                    ha="center",
-                    va="bottom",
-                    color=font_color,
-                    fontsize=12 * font_scale,
-                    alpha=0.75,
-                )
-
+        for ax in fig.axes:
+            _inset_tick_labels(host_ax, ax, "y", font_color, 12 * scale)
+            _inset_tick_labels(host_ax, ax, "x", font_color, 12 * scale)
+            # Data fills the whole canvas: no margins, spines, or ticks.
             ax.margins(0, 0)
             ax.set_axis_off()
             ax.xaxis.set_major_locator(plt.NullLocator())
             ax.yaxis.set_major_locator(plt.NullLocator())
-
         plt.subplots_adjust(top=1, bottom=0, right=1, left=0, hspace=0, wspace=0)
 
     if title is not None:
-        t = axs[0].annotate(
+        label = host_ax.annotate(
             title,
             xy=(1, 1),
             xycoords="axes fraction",
-            fontsize=20 * font_scale,
             xytext=(-5, -5),
             textcoords="offset points",
             ha="right",
             va="top",
             color="white",
+            fontsize=20 * scale,
         )
-        t.set_bbox(dict(facecolor="black", alpha=0.5, edgecolor="black"))
+        label.set_bbox(dict(facecolor="black", edgecolor="black", alpha=0.5))
 
 
 # -----------------------------------------------------------------------------

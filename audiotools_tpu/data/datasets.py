@@ -65,6 +65,51 @@ class AudioLoader:
         self.weights = weights
         self.transform = transform
 
+    def _select(self, state, source_idx, item_idx, global_idx):
+        """Resolve one CSV/folder entry via one of three addressing modes:
+        explicit ``(source_idx, item_idx)``, without-replacement
+        ``global_idx`` into the shuffled flat index, or weighted random."""
+        if source_idx is not None and item_idx is not None:
+            # Explicit coordinates (aligned multitrack). Out-of-range
+            # coordinates resolve to silence rather than raising, so a
+            # shorter stem list just contributes an empty track.
+            try:
+                entry = self.audio_lists[source_idx][item_idx]
+            except Exception:
+                entry = {"path": "none"}
+            return entry, source_idx, item_idx
+        if global_idx is not None:
+            flat = self.audio_indices[global_idx % len(self.audio_indices)]
+            source_idx, item_idx = flat
+            return self.audio_lists[source_idx][item_idx], source_idx, item_idx
+        return util.choose_from_list_of_lists(
+            state, self.audio_lists, p=self.weights
+        )
+
+    def _read(self, path, state, sample_rate, duration, num_channels,
+              loudness_cutoff, offset):
+        """Decode ``duration`` seconds from ``path`` (salient excerpt when no
+        offset is pinned), conformed to the loader's rate/channels/length.
+        ``path == "none"`` yields silence of the requested shape."""
+        if path == "none":
+            signal = AudioSignal.zeros(duration, sample_rate, num_channels)
+        elif offset is None:
+            signal = AudioSignal.salient_excerpt(
+                path,
+                duration=duration,
+                state=state,
+                loudness_cutoff=loudness_cutoff,
+            )
+        else:
+            signal = AudioSignal(path, offset=offset, duration=duration)
+
+        if num_channels == 1:
+            signal = signal.to_mono()
+        signal = signal.resample(sample_rate)
+        if signal.duration < duration:
+            signal = signal.zero_pad_to(int(duration * sample_rate))
+        return signal
+
     def __call__(
         self,
         state,
@@ -77,55 +122,23 @@ class AudioLoader:
         item_idx: int = None,
         global_idx: int = None,
     ):
-        if source_idx is not None and item_idx is not None:
-            try:
-                audio_info = self.audio_lists[source_idx][item_idx]
-            except Exception:
-                audio_info = {"path": "none"}
-        elif global_idx is not None:
-            source_idx, item_idx = self.audio_indices[
-                global_idx % len(self.audio_indices)
-            ]
-            audio_info = self.audio_lists[source_idx][item_idx]
-        else:
-            audio_info, source_idx, item_idx = util.choose_from_list_of_lists(
-                state, self.audio_lists, p=self.weights
-            )
-
-        path = audio_info["path"]
-        signal = AudioSignal.zeros(duration, sample_rate, num_channels)
-
-        if path != "none":
-            if offset is None:
-                signal = AudioSignal.salient_excerpt(
-                    path,
-                    duration=duration,
-                    state=state,
-                    loudness_cutoff=loudness_cutoff,
-                )
-            else:
-                signal = AudioSignal(
-                    path,
-                    offset=offset,
-                    duration=duration,
-                )
-
-        if num_channels == 1:
-            signal = signal.to_mono()
-        signal = signal.resample(sample_rate)
-
-        if signal.duration < duration:
-            signal = signal.zero_pad_to(int(duration * sample_rate))
-
-        for k, v in audio_info.items():
-            signal.metadata[k] = v
+        entry, source_idx, item_idx = self._select(
+            state, source_idx, item_idx, global_idx
+        )
+        signal = self._read(
+            entry["path"], state, sample_rate, duration, num_channels,
+            loudness_cutoff, offset,
+        )
+        # CSV columns (e.g. a precomputed ``loudness``) ride along on the
+        # signal so transforms like GlobalVolumeNorm can use them.
+        signal.metadata.update(entry)
 
         item = {
             "signal": signal,
             "source_idx": source_idx,
             "item_idx": item_idx,
             "source": str(self.sources[source_idx]),
-            "path": str(path),
+            "path": str(entry["path"]),
         }
         if self.transform is not None:
             item["transform_args"] = self.transform.instantiate(state, signal=signal)
@@ -137,14 +150,22 @@ def default_matcher(x, y):
 
 
 def align_lists(lists, matcher: Callable = default_matcher):
-    """Align multitrack file lists in place (reference datasets.py:142-150)."""
-    longest_list = lists[np.argmax([len(l) for l in lists])]
-    for i, x in enumerate(longest_list):
-        for l in lists:
-            if i >= len(l):
-                l.append({"path": "none"})
-            elif not matcher(l[i]["path"], x["path"]):
-                l.insert(i, {"path": "none"})
+    """Pad multitrack file lists (in place) so index ``i`` refers to the
+    same recording in every list (behavior of reference datasets.py:142-150).
+
+    The longest list acts as the anchor. Walking it position by position,
+    any other list whose entry at that position does not ``matcher``-match
+    the anchor's gets a silence placeholder spliced in (or appended, once
+    it has run out of entries).
+    """
+    anchor = max(lists, key=len)
+    silence = lambda: {"path": "none"}
+    for pos, anchor_entry in enumerate(anchor):
+        for tracks in lists:
+            if pos >= len(tracks):
+                tracks.append(silence())
+            elif not matcher(tracks[pos]["path"], anchor_entry["path"]):
+                tracks.insert(pos, silence())
     return lists
 
 
@@ -168,81 +189,76 @@ class AudioDataset:
         matcher: Callable = default_matcher,
         without_replacement: bool = True,
     ):
-        if isinstance(loaders, list):
-            loaders = {i: l for i, l in enumerate(loaders)}
-        elif isinstance(loaders, AudioLoader):
+        # Normalise every accepted loader spec to an ordered name->loader map.
+        if isinstance(loaders, AudioLoader):
             loaders = {0: loaders}
-
+        elif isinstance(loaders, list):
+            loaders = dict(enumerate(loaders))
         self.loaders = loaders
-        self.loudness_cutoff = loudness_cutoff
-        self.num_channels = num_channels
 
-        self.length = n_examples
-        self.transform = transform
         self.sample_rate = sample_rate
+        self.length = n_examples
         self.duration = duration
         self.offset = offset
+        self.loudness_cutoff = loudness_cutoff
+        self.num_channels = num_channels
+        self.transform = transform
         self.aligned = aligned
         self.shuffle_loaders = shuffle_loaders
         self.without_replacement = without_replacement
 
         if aligned:
-            loaders_list = list(loaders.values())
-            for i in range(len(loaders_list[0].audio_lists)):
-                input_lists = [l.audio_lists[i] for l in loaders_list]
-                # Alignment happens in-place
-                align_lists(input_lists, matcher)
+            # Splice silence placeholders into every loader's file lists so
+            # equal indices point at the same multitrack recording. Mutates
+            # the loaders' audio_lists directly.
+            all_loaders = list(loaders.values())
+            n_sources = len(all_loaders[0].audio_lists)
+            for src in range(n_sources):
+                align_lists([l.audio_lists[src] for l in all_loaders], matcher)
 
     def __getitem__(self, idx):
+        # RandomState(idx) is the determinism root: the same index always
+        # reproduces the same excerpt choices and transform parameters.
         state = util.random_state(idx)
-        offset = None if self.offset is None else self.offset
-        item = {}
 
-        keys = list(self.loaders.keys())
+        draw_order = list(self.loaders.keys())
         if self.shuffle_loaders:
-            state.shuffle(keys)
+            state.shuffle(draw_order)
 
-        loader_kwargs = {
-            "state": state,
-            "sample_rate": self.sample_rate,
-            "duration": self.duration,
-            "loudness_cutoff": self.loudness_cutoff,
-            "num_channels": self.num_channels,
-            "global_idx": idx if self.without_replacement else None,
-        }
+        shared = dict(
+            state=state,
+            sample_rate=self.sample_rate,
+            duration=self.duration,
+            loudness_cutoff=self.loudness_cutoff,
+            num_channels=self.num_channels,
+            global_idx=idx if self.without_replacement else None,
+        )
 
-        # Draw item from first loader
-        loader = self.loaders[keys[0]]
-        item[keys[0]] = loader(**loader_kwargs)
+        per_loader = {}
+        primary = None  # the first-drawn loader anchors aligned mode
+        for name in draw_order:
+            kwargs = dict(shared)
+            if self.aligned and primary is not None:
+                # Follow the primary draw: same file coordinates, same
+                # start offset within the file.
+                kwargs["offset"] = primary["signal"].metadata["offset"]
+                kwargs["source_idx"] = primary["source_idx"]
+                kwargs["item_idx"] = primary["item_idx"]
+            per_loader[name] = self.loaders[name](**kwargs)
+            if primary is None:
+                primary = per_loader[name]
 
-        for key in keys[1:]:
-            loader = self.loaders[key]
-            if self.aligned:
-                # Match the first loader's choice of offset/source/item.
-                offset = item[keys[0]]["signal"].metadata["offset"]
-                loader_kwargs.update(
-                    {
-                        "offset": offset,
-                        "source_idx": item[keys[0]]["source_idx"],
-                        "item_idx": item[keys[0]]["item_idx"],
-                    }
-                )
-            item[key] = loader(**loader_kwargs)
-
-        # Sort dictionary back into original order
-        keys = list(self.loaders.keys())
-        item = {k: item[k] for k in keys}
-
+        # Present loaders in declaration order regardless of draw order.
+        item = {name: per_loader[name] for name in self.loaders}
         item["idx"] = idx
         if self.transform is not None:
+            first = next(iter(self.loaders))
             item["transform_args"] = self.transform.instantiate(
-                state=state, signal=item[keys[0]]["signal"]
+                state=state, signal=item[first]["signal"]
             )
-
-        # Single-loader items are popped up to the main dict.
-        if len(keys) == 1:
-            item.update(item.pop(keys[0]))
-
+        if len(self.loaders) == 1:
+            only = item.pop(next(iter(self.loaders)))
+            item.update(only)
         return item
 
     def __len__(self):

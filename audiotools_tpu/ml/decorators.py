@@ -18,7 +18,6 @@ from rich import box
 from rich.console import Console, Group
 from rich.live import Live
 from rich.markdown import Markdown
-from rich.padding import Padding
 from rich.panel import Panel
 from rich.progress import (
     BarColumn,
@@ -130,10 +129,10 @@ class Tracker:
         self.pbar = Progress(
             SpinnerColumn(),
             "[progress.description]{task.description}",
-            "{task.completed}/{task.total}",
             BarColumn(),
+            "[progress.percentage]{task.percentage:>3.0f}%",
+            "({task.completed} of {task.total})",
             TimeElapsedColumn(),
-            "/",
             TimeRemainingColumn(),
         )
         self.consoles = [Console(width=console_width)]
@@ -142,52 +141,61 @@ class Tracker:
             self.consoles.append(Console(width=console_width, file=open(log_file, "a")))
 
     def print(self, msg):
-        """Print to all consoles (rank 0 only)."""
-        if self.rank == 0:
-            for c in self.consoles:
-                c.log(msg)
+        """Print to the terminal and the log file, on rank 0 only."""
+        if self.rank != 0:
+            return
+        for console in self.consoles:
+            console.log(msg)
+
+    def _metrics_table(self, label: str) -> Table:
+        """Render one label's latest scalars and their running means."""
+        table = Table(title=f"[b]{label}[/b]", expand=True, box=box.SIMPLE_HEAD)
+        table.add_column("metric", style="bold cyan", ratio=2)
+        table.add_column("last", justify="right", style="magenta")
+        table.add_column("running mean", justify="right", style="green")
+        scalars = self.metrics[label]
+        for name, latest in scalars["value"].items():
+            running = scalars["mean"][name]()
+            table.add_row(name, f"{latest:10.6f}", f"{running:10.6f}")
+        return table
+
+    def _dashboard(self, heading=None):
+        """All labels' tables stacked over the progress bars, framed."""
+        tables = [task["table"] for task in self.tasks.values()]
+        body = Panel(
+            Group(*tables, self.pbar),
+            padding=(0, 2),
+            title="[b]audiotools_tpu",
+            subtitle=f"step {self.step}",
+            border_style="bright_black",
+        )
+        parts = [] if heading is None else [heading]
+        return Group(*parts, body)
 
     def update(self, label, fn_name):
-        """Advance the progress bar and refresh the metric table."""
-        if self.rank == 0:
-            self.pbar.advance(self.tasks[label]["pbar"])
-
-            table = Table(title=label, expand=True, box=box.MINIMAL)
-            table.add_column("key", style="cyan")
-            table.add_column("value", style="bright_blue")
-            table.add_column("mean", style="bright_green")
-
-            keys = self.metrics[label]["value"].keys()
-            for k in keys:
-                value = self.metrics[label]["value"][k]
-                mean = self.metrics[label]["mean"][k]()
-                table.add_row(k, f"{value:10.6f}", f"{mean:10.6f}")
-
-            self.tasks[label]["table"] = table
-            tables = [t["table"] for t in self.tasks.values()]
-            group = Group(*tables, self.pbar)
-            self.live.update(
-                Group(
-                    Padding("", (0, 0)),
-                    Rule(f"[italic]{fn_name}()", style="white"),
-                    Padding("", (0, 0)),
-                    Panel.fit(
-                        group, padding=(0, 5), title="[b]Progress", border_style="blue"
-                    ),
-                )
-            )
+        """Advance ``label``'s bar and redraw the live dashboard."""
+        if self.rank != 0:
+            return
+        self.pbar.advance(self.tasks[label]["pbar"])
+        self.tasks[label]["table"] = self._metrics_table(label)
+        heading = Rule(f"[italic]{fn_name}()", style="bright_black")
+        self.live.update(self._dashboard(heading))
 
     def done(self, label: str, title: str):
-        """Reset running means/pbar and print the epoch summary."""
-        for label_ in self.metrics:
-            for v in self.metrics[label_]["mean"].values():
-                v.reset()
-
+        """Close out an epoch: log the summary, then zero the running means
+        and rewind ``label``'s progress bar for the next pass."""
         if self.rank == 0:
+            summary = Group(
+                Markdown(f"# {title}"),
+                *[task["table"] for task in self.tasks.values()],
+                self.pbar,
+            )
+            self.print(summary)
             self.pbar.reset(self.tasks[label]["pbar"])
-            tables = [t["table"] for t in self.tasks.values()]
-            group = Group(Markdown(f"# {title}"), *tables, self.pbar)
-            self.print(group)
+
+        for scalars in self.metrics.values():
+            for mean in scalars["mean"].values():
+                mean.reset()
 
     def track(
         self,

@@ -330,101 +330,97 @@ slider_mushra = _labels_html(
 # ---------------------------------------------------------------------------
 
 
+def _ui_update(**kwargs):
+    """``gr.update(...)`` when gradio is importable, a plain dict otherwise,
+    so the session state machine stays testable without the UI library."""
+    try:
+        import gradio as gr
+
+        return gr.update(**kwargs)
+    except ImportError:
+        return dict(kwargs)
+
+
 class Samples:
-    """Session state for a listening test: discovers
-    ``folder/<condition>/<sample>.wav`` layouts, shuffles, tracks progress,
-    and filters out samples a user already completed."""
+    """Listening-test session state over a ``folder/<condition>/<name>.wav``
+    tree (behavior of reference preference.py:523-592).
+
+    A "sample" is one file name appearing under several condition
+    subfolders.  The object walks the test in a (optionally shuffled)
+    name order, hands the UI per-condition file updates, renders an HTML
+    progress bar, and can drop samples a given user has already rated.
+    """
 
     def __init__(self, folder: str, shuffle: bool = True, n_samples: int = None):
-        files = find_audio(folder)
-        samples = defaultdict(lambda: defaultdict())
+        # Invert the on-disk layout: name -> {condition -> path}.
+        by_name = defaultdict(dict)
+        for path in find_audio(folder):
+            by_name[path.name][path.parent.stem] = path
+        self.samples = by_name
 
-        for f in files:
-            condition = f.parent.stem
-            samples[f.name][condition] = f
-
-        self.samples = samples
-        self.names = list(samples.keys())
-        self.filtered = False
-        self.current = 0
-        self.order = []
-
+        self.names = list(by_name)
         if shuffle:
             random.shuffle(self.names)
+        self.n_samples = n_samples if n_samples is not None else len(self.names)
 
-        self.n_samples = len(self.names) if n_samples is None else n_samples
-
-    def get_updates(self, idx, order):
-        """Per-condition file updates for the sample at ``idx``."""
-        key = self.names[idx]
-        try:
-            import gradio as gr
-
-            return [gr.update(value=str(self.samples[key][o])) for o in order]
-        except ImportError:
-            return [{"value": str(self.samples[key][o])} for o in order]
-
-    def progress(self):
-        try:
-            pct = self.current / len(self) * 100
-        except ZeroDivisionError:
-            pct = 100
-        text = f"On {self.current} / {len(self)} samples"
-        pbar = (
-            copy.copy(progress_template)
-            .replace("{PROGRESS}", str(pct))
-            .replace("{TEXT}", str(text))
-        )
-        try:
-            import gradio as gr
-
-            return gr.update(value=pbar)
-        except ImportError:
-            return {"value": pbar}
+        self.current = 0  # how many samples this session has served
+        self.order = []  # condition presentation order of the last serve
+        self.filtered = False
 
     def __len__(self):
         return self.n_samples
 
+    def get_updates(self, idx, order):
+        """UI updates pointing each player at sample ``idx``'s file for the
+        corresponding condition in ``order``."""
+        conditions = self.samples[self.names[idx]]
+        return [_ui_update(value=str(conditions[c])) for c in order]
+
+    def progress(self):
+        """HTML progress bar reflecting ``current`` out of ``len(self)``."""
+        total = len(self)
+        pct = self.current / total * 100 if total else 100
+        html = copy.copy(progress_template)
+        html = html.replace("{PROGRESS}", str(pct))
+        html = html.replace("{TEXT}", f"On {self.current} / {total} samples")
+        return _ui_update(value=html)
+
     def filter_completed(self, user, save_path):
-        if not self.filtered:
-            done = []
-            if Path(save_path).exists():
-                with open(save_path, "r") as f:
-                    reader = csv.DictReader(f)
-                    done = [r["sample"] for r in reader if r["user"] == user]
-            self.names = [k for k in self.names if k not in done]
-            self.names = self.names[: self.n_samples]
-            self.filtered = True  # Avoid filtering more than once per session.
+        """Drop samples ``user`` already rated in the results CSV, then cap
+        at ``n_samples``. Runs at most once per session."""
+        if self.filtered:
+            return
+        rated = set()
+        if Path(save_path).exists():
+            with open(save_path, "r") as f:
+                for row in csv.DictReader(f):
+                    if row["user"] == user:
+                        rated.add(row["sample"])
+        remaining = [name for name in self.names if name not in rated]
+        self.names = remaining[: self.n_samples]
+        self.filtered = True
 
     def get_next_sample(self, reference: str, conditions: List[str]):
+        """Serve the next sample: shuffled condition order (reference pinned
+        first), player updates, submit-button state, progress bar."""
         random.shuffle(conditions)
-        if reference is not None:
-            self.order = [reference] + conditions
-        else:
-            self.order = conditions
+        self.order = conditions if reference is None else [reference] + conditions
 
         try:
             updates = self.get_updates(self.current, self.order)
-            self.current += 1
-            done = self._update(interactive=True)
-            pbar = self.progress()
         except Exception:
+            # Out of samples (or a condition folder is missing a file):
+            # freeze the submit button and park the session at the end.
             traceback.print_exc()
-            updates = [self._update() for _ in range(len(self.order))]
-            done = self._update(value="No more samples!", interactive=False)
             self.current = len(self)
-            pbar = self.progress()
+            return (
+                [_ui_update() for _ in self.order],
+                _ui_update(value="No more samples!", interactive=False),
+                self.progress(),
+            )
 
-        return updates, done, pbar
-
-    @staticmethod
-    def _update(**kwargs):
-        try:
-            import gradio as gr
-
-            return gr.update(**kwargs)
-        except ImportError:
-            return dict(kwargs)
+        self.current += 1
+        return updates, _ui_update(interactive=True), self.progress()
 
 
 def save_result(result: dict, save_path: str):
