@@ -273,20 +273,25 @@ def mel_band_cutoffs(sample_rate: int, n_bands: int) -> tuple:
 
 @functools.lru_cache(maxsize=None)
 def _split_band_kernels(sample_rate: int, n_bands: int, zeros: int = 8):
-    """Static low-pass kernel bank for the mel band-splitter."""
+    """Static low-pass kernel bank for the mel band-splitter.
+
+    julius ``LowPassFilters`` (plural) stacks all cutoffs into one conv
+    weight, so every kernel shares the support dictated by the *smallest*
+    cutoff and is windowed by the full-support hann — unlike the per-item
+    ``LowPassFilter`` (singular) design in :func:`lowpass_kernel`, which
+    tightens support per cutoff. Parity pinned by
+    tests/parity/test_parity.py::test_split_bands_matches_julius.
+    """
     cutoffs = np.array(mel_band_cutoffs(sample_rate, n_bands)) / sample_rate
     half = int(zeros / cutoffs.min() / 2)
     t = np.arange(-half, half + 1, dtype=np.float64)
+    win = np.hanning(2 * half + 1) if half > 0 else np.ones(1)
     kernels = np.zeros((len(cutoffs), 2 * half + 1))
     for i, c in enumerate(cutoffs):
-        h = int(zeros / c / 2)
-        tt = np.arange(-h, h + 1, dtype=np.float64)
-        win = np.hanning(2 * h + 1) if h > 0 else np.ones(1)
-        arg = 2 * c * np.pi * tt
+        arg = 2 * c * np.pi * t
         sinc = np.where(np.abs(arg) < 1e-12, 1.0, np.sin(arg) / np.where(arg == 0, 1, arg))
         k = 2 * c * win * sinc
-        k = k / k.sum()
-        kernels[i, half - h : half + h + 1] = k
+        kernels[i] = k / k.sum()
     return kernels.astype(np.float32), half
 
 

@@ -68,7 +68,8 @@ def resample(
     T = audio.shape[-1]
     batch_shape = audio.shape[:-1]
     x = audio.reshape((-1, 1, T)).astype(jnp.float32)
-    x = jnp.pad(x, ((0, 0), (0, 0), (width, width + old)))
+    # julius pads mode='replicate' so constants survive to the very edges
+    x = jnp.pad(x, ((0, 0), (0, 0), (width, width + old)), mode="edge")
     # (B, 1, Tp) * (new, 1, W) stride old -> (B, new, n_blocks)
     y = jax.lax.conv_general_dilated(
         x,

@@ -1,0 +1,237 @@
+"""Reference-parity harness: every numerical family checked against an
+independent float64 oracle (clean-room torch/scipy transcriptions in
+``oracles.py``) at tight tolerances.
+
+This replaces trust-in-self-goldens for the families the reference
+validates cross-library (SURVEY.md §4.2): resampling (julius), FIR
+filtering and mel band-splitting (julius), ISTFT (torch.istft), and the
+BS.1770 meter (published 48 kHz coefficient table + spec-direct gating).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from audiotools_tpu.ops import fft as F
+from audiotools_tpu.ops import filters as FL
+from audiotools_tpu.ops import loudness as L
+from audiotools_tpu.ops import resample as R
+
+from . import oracles
+
+
+def _noise(shape, seed=0, scale=0.1):
+    return (np.random.RandomState(seed).randn(*shape) * scale).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# resample vs julius polyphase (reference audio_signal.py:716-736)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "old_sr,new_sr",
+    [(44100, 16000), (16000, 44100), (44100, 48000), (48000, 44100), (8000, 11025)],
+)
+def test_resample_matches_julius(old_sr, new_sr):
+    x = _noise((2, 1, old_sr))  # 1 second
+    mine = np.asarray(R.resample(jnp.asarray(x), old_sr, new_sr))
+    ref = oracles.torch_resample_frac(torch.from_numpy(x), old_sr, new_sr).numpy()
+    assert mine.shape == ref.shape
+    assert np.abs(mine - ref).max() < 1e-4
+
+
+def test_resample_preserves_dc_at_edges():
+    # replicate padding means a constant signal stays constant to the ends
+    x = np.full((1, 1, 4410), 0.25, dtype=np.float32)
+    y = np.asarray(R.resample(jnp.asarray(x), 44100, 16000))
+    assert np.abs(y - 0.25).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# low/high-pass vs julius.LowPassFilter (reference dsp.py:153-215)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("block_size", ["auto", None])
+@pytest.mark.parametrize("cutoff_hz", [220.0, 3000.0, 8000.0])
+def test_low_pass_matches_julius(cutoff_hz, block_size):
+    sr = 44100
+    x = _noise((1, 1, sr // 2), seed=3)
+    mine = np.asarray(
+        FL.low_pass(jnp.asarray(x), cutoff_hz, sr, zeros=51, block_size=block_size)
+    )
+    ref = oracles.torch_lowpass_filter(
+        torch.from_numpy(x), cutoff_hz / sr, zeros=51
+    ).numpy()
+    assert np.abs(mine - ref).max() < 1e-4
+
+
+def test_low_pass_per_item_cutoffs_match_julius_loop():
+    sr = 44100
+    x = _noise((3, 2, sr // 2), seed=4)
+    cutoffs = np.array([220.0, 2000.0, 10000.0], dtype=np.float32)
+    mine = np.asarray(FL.low_pass(jnp.asarray(x), jnp.asarray(cutoffs), sr, zeros=51))
+    for i, c in enumerate(cutoffs):
+        ref = oracles.torch_lowpass_filter(
+            torch.from_numpy(x[i]), float(c) / sr, zeros=51
+        ).numpy()
+        assert np.abs(mine[i] - ref).max() < 1e-4, f"item {i} cutoff {c}"
+
+
+def test_high_pass_matches_julius():
+    sr = 44100
+    x = _noise((1, 1, sr // 2), seed=5)
+    mine = np.asarray(FL.high_pass(jnp.asarray(x), 1000.0, sr, zeros=51))
+    low = oracles.torch_lowpass_filter(torch.from_numpy(x), 1000.0 / sr, zeros=51)
+    ref = (torch.from_numpy(x).double() - low).numpy()
+    assert np.abs(mine - ref).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# mel band-split + equalizer vs julius.SplitBands (reference effects.py:386-433)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_bands", [4, 6])
+@pytest.mark.parametrize("block_size", ["auto", None])
+def test_split_bands_matches_julius(n_bands, block_size):
+    sr = 44100
+    x = _noise((2, 1, sr // 2), seed=6)
+    mine = np.asarray(
+        FL.split_bands(jnp.asarray(x), sr, n_bands, block_size=block_size)
+    )  # (B, C, T, n_bands)
+    ref = oracles.torch_split_bands(torch.from_numpy(x), sr, n_bands).numpy()
+    ref = np.moveaxis(ref, 0, -1)  # (B, C, T, n_bands)
+    assert mine.shape == ref.shape
+    assert np.abs(mine - ref).max() < 1e-4
+
+
+def test_split_bands_partition_of_unity():
+    sr = 22050
+    x = _noise((1, 1, sr // 4), seed=7)
+    bands = np.asarray(FL.split_bands(jnp.asarray(x), sr, 6))
+    assert np.abs(bands.sum(-1) - x).max() < 1e-6
+
+
+def test_equalizer_matches_weighted_band_sum():
+    sr = 44100
+    n_bands = 6
+    x = _noise((2, 1, sr // 2), seed=8)
+    db = np.random.RandomState(9).uniform(-12, 0, (2, n_bands)).astype(np.float32)
+    mine = np.asarray(FL.equalizer(jnp.asarray(x), jnp.asarray(db), sr))
+    ref_bands = oracles.torch_split_bands(torch.from_numpy(x), sr, n_bands).numpy()
+    weights = (10.0 ** db.astype(np.float64))[:, None, None, :]
+    ref = (np.moveaxis(ref_bands, 0, -1) * weights).sum(-1)
+    assert np.abs(mine - ref).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# ISTFT vs torch.istft (reference audio_signal.py:1214-1296)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("window_length,hop_length", [(2048, 512), (512, 128)])
+@pytest.mark.parametrize("method", ["fft", "matmul"])
+def test_istft_matches_torch(window_length, hop_length, method):
+    T = 22050
+    x = _noise((2, 1, T), seed=10, scale=0.5)
+    spec = F.stft(jnp.asarray(x), window_length, hop_length, "hann")
+    mine = np.asarray(
+        F.istft(
+            spec, window_length, hop_length, "hann", length=T, method=method
+        )
+    ).reshape(-1, T)
+
+    w = torch.from_numpy(F.get_window("hann", window_length))
+    st = torch.from_numpy(np.asarray(spec)).reshape(-1, spec.shape[-2], spec.shape[-1])
+    ref = torch.istft(
+        st, n_fft=window_length, hop_length=hop_length, window=w,
+        center=True, length=T,
+    ).numpy()
+    assert np.abs(mine - ref).max() < 1e-4
+
+
+def test_istft_matches_torch_on_modified_spectrum():
+    """Not just round-trips: parity must hold for *inconsistent* spectra
+    (the masked/denoised case) where OLA normalization actually matters."""
+    T = 16384
+    x = _noise((1, 1, T), seed=11, scale=0.5)
+    spec = np.asarray(F.stft(jnp.asarray(x), 1024, 256, "hann"))
+    rng = np.random.RandomState(12)
+    spec = spec * rng.uniform(0.0, 1.5, spec.shape[-2:]).astype(np.float32)
+
+    mine = np.asarray(
+        F.istft(jnp.asarray(spec), 1024, 256, "hann", length=T)
+    ).reshape(-1, T)
+    w = torch.from_numpy(F.get_window("hann", 1024))
+    ref = torch.istft(
+        torch.from_numpy(spec).reshape(-1, spec.shape[-2], spec.shape[-1]),
+        n_fft=1024, hop_length=256, window=w, center=True, length=T,
+    ).numpy()
+    assert np.abs(mine - ref).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# BS.1770 meter vs published coefficients + spec-direct gating
+# ---------------------------------------------------------------------------
+
+
+def test_k_weighting_48k_matches_published_table():
+    (shelf_b, shelf_a), (hp_b, hp_a) = L.k_weighting_coefficients(48000)
+    assert np.allclose(shelf_b, oracles.BS1770_48K_SHELF_B, atol=5e-5)
+    assert np.allclose(shelf_a, oracles.BS1770_48K_SHELF_A, atol=5e-5)
+    assert np.allclose(hp_b, oracles.BS1770_48K_HIGHPASS_B, atol=5e-5)
+    assert np.allclose(hp_a, oracles.BS1770_48K_HIGHPASS_A, atol=5e-5)
+
+
+def test_k_weighting_filter_output_matches_scipy_iir():
+    x = _noise((1, 48000), seed=13)
+    mine = np.asarray(L.apply_k_weighting(jnp.asarray(x), 48000))
+    table = [
+        (oracles.BS1770_48K_SHELF_B, oracles.BS1770_48K_SHELF_A),
+        (oracles.BS1770_48K_HIGHPASS_B, oracles.BS1770_48K_HIGHPASS_A),
+    ]
+    ref = oracles.scipy_k_weight(x, table)
+    assert np.abs(mine - ref).max() < 1e-4
+
+
+@pytest.mark.parametrize("seed,nch", [(14, 1), (15, 2)])
+def test_integrated_loudness_matches_spec_direct_oracle(seed, nch):
+    rate = 48000
+    rng = np.random.RandomState(seed)
+    # speech-ish: noise bursts with silent gaps so both gates are active
+    x = rng.randn(nch, 3 * rate) * 0.05
+    gaps = rng.rand(1, 3 * rate // 4800) > 0.4
+    x = (x * np.repeat(gaps, 4800, axis=1)).astype(np.float32)
+
+    mine = float(
+        np.asarray(
+            L.integrated_loudness(jnp.asarray(x.T[None]), rate, use_fir=False)
+        )[0]
+    )
+    table = [
+        (oracles.BS1770_48K_SHELF_B, oracles.BS1770_48K_SHELF_A),
+        (oracles.BS1770_48K_HIGHPASS_B, oracles.BS1770_48K_HIGHPASS_A),
+    ]
+    ref = oracles.numpy_gated_lufs(oracles.scipy_k_weight(x, table), rate)
+    assert abs(mine - ref) < 5e-3, f"{mine} vs {ref}"
+
+
+def test_fir_meter_within_reference_tolerance():
+    """The 512-tap FIR approximation agrees with the exact meter to 1e-2 dB
+    (the reference's own FIR-vs-IIR tolerance, test_loudness.py:263)."""
+    rate = 44100
+    x = _noise((1, 2 * rate, 1), seed=16, scale=0.2)
+    exact = float(np.asarray(L.integrated_loudness(jnp.asarray(x), rate, use_fir=False))[0])
+    fir = float(np.asarray(L.integrated_loudness(jnp.asarray(x), rate, use_fir=True))[0])
+    assert abs(exact - fir) < 1e-2
+
+
+def test_host_meter_matches_device_meter():
+    rate = 44100
+    x = _noise((2, 1, rate), seed=17, scale=0.3)
+    host = L.host_loudness(x, rate)
+    dev = np.asarray(L.loudness(jnp.asarray(x), rate, use_fir=False))
+    assert np.abs(host - dev).max() < 5e-3
