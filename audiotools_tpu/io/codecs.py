@@ -8,6 +8,7 @@ environment has no such binaries, but it does ship codec *libraries*:
 * MP3 encode — libmp3lame
 * Ogg/Vorbis decode — libvorbisfile
 * Ogg/Vorbis encode — libvorbisenc + libvorbis + libogg
+* GSM 06.10 full-rate encode/decode — libgsm
 
 Each is bound lazily; ``available()`` reports what works on this host.
 """
@@ -21,10 +22,12 @@ __all__ = [
     "mp3_available",
     "vorbis_available",
     "vorbis_encode_available",
+    "gsm_available",
     "read_mp3",
     "write_mp3",
     "read_ogg",
     "write_ogg",
+    "gsm_roundtrip",
 ]
 
 _MPG123_OK = 0
@@ -442,3 +445,86 @@ def read_ogg(path, offset: float = 0.0, duration: float = None):
     start = int(round(offset * sr)) if offset else 0
     end = None if duration is None else start + int(round(duration * sr))
     return np.ascontiguousarray(data[:, start:end]), sr
+
+
+# ---------------------------------------------------------------------------
+# GSM 06.10 full-rate (libgsm)
+# ---------------------------------------------------------------------------
+
+_GSM_FRAME = 160  # samples per GSM frame (20 ms at 8 kHz)
+_GSM_BYTES = 33  # encoded bytes per frame
+
+_gsm = None
+
+
+def _get_gsm():
+    global _gsm
+    if _gsm is None:
+        _gsm = _load("libgsm.so.1")
+        if _gsm is not None:
+            _gsm.gsm_create.restype = ctypes.c_void_p
+            _gsm.gsm_destroy.argtypes = [ctypes.c_void_p]
+            _gsm.gsm_encode.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_ubyte),
+            ]
+            _gsm.gsm_decode.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_int16),
+            ]
+    return _gsm
+
+
+def gsm_available() -> bool:
+    return _get_gsm() is not None
+
+
+def gsm_roundtrip(data: np.ndarray) -> np.ndarray:
+    """Encode+decode ``(C, T)`` float32 8 kHz audio through GSM 06.10.
+
+    The GSM full-rate codec is mono, 8 kHz, 160-sample frames; each
+    channel is coded independently and the tail is zero-padded to a whole
+    frame then trimmed. Used by ``apply_codec(preset="GSM-FR")``
+    (reference effects.py:14-25 / torchaudio sox path :370-384) — the
+    caller is responsible for resampling to/from 8 kHz.
+    """
+    lib = _get_gsm()
+    if lib is None:
+        raise RuntimeError("libgsm not available")
+    data = np.asarray(data, dtype=np.float32)
+    squeeze = data.ndim == 1
+    if squeeze:
+        data = data[None, :]
+    C, T = data.shape
+    n_frames = -(-T // _GSM_FRAME)
+    pcm = np.zeros((C, n_frames * _GSM_FRAME), dtype=np.int16)
+    pcm[:, :T] = np.clip(data * 32768.0, -32768, 32767).astype(np.int16)
+
+    out = np.empty_like(pcm)
+    frame = (ctypes.c_ubyte * _GSM_BYTES)()
+    for c in range(C):
+        h_enc = ctypes.c_void_p(lib.gsm_create())
+        h_dec = ctypes.c_void_p(lib.gsm_create())
+        try:
+            row = np.ascontiguousarray(pcm[c])
+            dst = out[c]
+            for i in range(n_frames):
+                seg = row[i * _GSM_FRAME : (i + 1) * _GSM_FRAME]
+                lib.gsm_encode(
+                    h_enc,
+                    seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    frame,
+                )
+                dec = (ctypes.c_int16 * _GSM_FRAME)()
+                lib.gsm_decode(h_dec, frame, dec)
+                dst[i * _GSM_FRAME : (i + 1) * _GSM_FRAME] = np.frombuffer(
+                    dec, dtype=np.int16
+                )
+        finally:
+            lib.gsm_destroy(h_enc)
+            lib.gsm_destroy(h_dec)
+
+    res = out[:, :T].astype(np.float32) / 32768.0
+    return res[0] if squeeze else res

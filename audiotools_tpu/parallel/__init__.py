@@ -1,2 +1,8 @@
 from .mesh import make_mesh
-from .timeshard import sharded_fir_conv, sharded_frames, sharded_loudness_blocks
+from .timeshard import (
+    sharded_fir_conv,
+    sharded_frames,
+    sharded_istft,
+    sharded_loudness,
+    sharded_stft,
+)

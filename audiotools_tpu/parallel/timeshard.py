@@ -12,9 +12,14 @@ Primitives
 * ``sharded_fir_conv`` — causal FIR filtering of a time-sharded signal.
 * ``sharded_frames`` — frame extraction where each shard's trailing
   window overlap comes from the neighbor (STFT/mel on sharded audio).
-* ``sharded_loudness_blocks`` — BS.1770 block powers over sharded time,
-  gated globally with ``psum``.
+* ``sharded_stft`` / ``sharded_istft`` — full STFT round trip on
+  time-sharded audio, matching ``ops.fft.stft/istft`` numerics
+  (reference audio_signal.py:1123-1296) on the valid frame range.
+* ``sharded_loudness`` — complete BS.1770-4 meter (K-weighting +
+  absolute AND relative gates, reference loudness.py:176-247) over
+  sharded time with two psum gating rounds.
 """
+import math
 from functools import partial
 
 import jax
@@ -23,7 +28,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["sharded_fir_conv", "sharded_frames", "sharded_loudness_blocks"]
+__all__ = [
+    "sharded_fir_conv",
+    "sharded_frames",
+    "sharded_stft",
+    "sharded_istft",
+    "sharded_loudness",
+]
 
 
 def _halo_from_left(block: jnp.ndarray, halo: int, axis_name: str):
@@ -36,6 +47,18 @@ def _halo_from_left(block: jnp.ndarray, halo: int, axis_name: str):
     perm = [(i, i + 1) for i in range(n - 1)]
     recv = jax.lax.ppermute(tail, axis_name, perm)
     recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+    return recv
+
+
+def _halo_from_right(block: jnp.ndarray, halo: int, axis_name: str):
+    """Receive the first ``halo`` samples of the RIGHT neighbor's shard
+    (zeros for the last shard)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    head = block[..., :halo]
+    perm = [(i + 1, i) for i in range(n - 1)]
+    recv = jax.lax.ppermute(head, axis_name, perm)
+    recv = jnp.where(idx == n - 1, jnp.zeros_like(recv), recv)
     return recv
 
 
@@ -58,7 +81,7 @@ def sharded_fir_conv(
         y = causal_fft_conv1d(ext, k)
         return y[..., K - 1 :]
 
-    spec = P(None, None, axis_name)
+    spec = P(*([None] * (x.ndim - 1)), axis_name)
     fn = shard_map(
         local,
         mesh=mesh,
@@ -74,36 +97,40 @@ def sharded_frames(
     hop_length: int,
     mesh: Mesh,
     axis_name: str = "sp",
-) -> jnp.ndarray:
+):
     """Frame a ``(B, T)`` signal sharded along T into
     ``(B, n_frames, frame_length)`` frames sharded along n_frames.
 
-    Shard length must be a multiple of ``hop_length``; the trailing
-    ``frame_length - hop_length`` samples of each shard's frames come
-    from the right neighbor (halo exchange in the opposite direction).
+    Returns ``(frames, n_valid)``. Each device produces
+    ``T_shard // hop_length`` frames; globally the first ``n_valid =
+    1 + (T - frame_length) // hop_length`` match single-device framing
+    exactly (the overlap crossing each shard boundary arrives from the
+    right neighbor) and any frames past ``n_valid`` — windows that would
+    read past the end of the signal — are zeroed, not silently filled
+    with zero-padding as if the signal continued.
     """
     T = x.shape[-1]
     n_dev = mesh.shape[axis_name]
     T_shard = T // n_dev
+    assert T_shard * n_dev == T, "time axis must divide evenly over shards"
     assert T_shard % hop_length == 0, "shard length must divide into hops"
     overlap = frame_length - hop_length
+    assert 0 <= overlap <= T_shard, "frame overlap must fit in one shard"
+    nf_local = T_shard // hop_length
+    n_valid = 1 + (T - frame_length) // hop_length
 
     def local(block):
-        # receive the HEAD of the right neighbor's shard (send left)
-        n = jax.lax.axis_size(axis_name)
-        idx = jax.lax.axis_index(axis_name)
-        head = block[..., :overlap]
-        perm = [(i + 1, i) for i in range(n - 1)]
-        recv = jax.lax.ppermute(head, axis_name, perm)
-        recv = jnp.where(idx == n - 1, jnp.zeros_like(recv), recv)
+        recv = _halo_from_right(block, overlap, axis_name)
         ext = jnp.concatenate([block, recv], axis=-1)
 
-        nf = T_shard // hop_length
         idxm = (
-            np.arange(nf, dtype=np.int32)[:, None] * hop_length
+            np.arange(nf_local, dtype=np.int32)[:, None] * hop_length
             + np.arange(frame_length, dtype=np.int32)[None, :]
         )
-        return ext[..., idxm]  # (B_local, nf, frame_length)
+        frames = ext[..., idxm]  # (B_local, nf_local, frame_length)
+        d = jax.lax.axis_index(axis_name)
+        j = d * nf_local + jnp.arange(nf_local)
+        return jnp.where((j < n_valid)[:, None], frames, 0.0)
 
     fn = shard_map(
         local,
@@ -111,47 +138,311 @@ def sharded_frames(
         in_specs=(P(None, axis_name),),
         out_specs=P(None, axis_name, None),
     )
-    return fn(x)
+    return fn(x), n_valid
 
 
-def sharded_loudness_blocks(
+def _stft_geometry(T, n_dev, window_length, hop_length):
+    """Shared shard geometry for sharded_stft/istft (torch.stft
+    center=True convention: reflect pad of ``cpad = win // 2``, frames at
+    every hop of the padded signal, ``1 + T // hop`` total frames)."""
+    cpad = window_length // 2
+    T_shard = T // n_dev
+    assert T_shard * n_dev == T, "time axis must divide evenly over shards"
+    assert T_shard % hop_length == 0, "shard length must divide into hops"
+    assert cpad % hop_length == 0, (
+        "window//2 must be a hop multiple (true for hop = win/2 or win/4)"
+    )
+    assert T_shard >= window_length, "shards must be at least one window"
+    nf_local = T_shard // hop_length + 1
+    n_valid = T // hop_length + 1
+    # right halo: the last frame of shard d starts (in original coords) at
+    # d*(T_shard + hop) + T_shard - cpad and extends `window_length`
+    right = (n_dev - 1) * hop_length + window_length - cpad
+    assert right <= T_shard, "mesh too wide for this shard length"
+    assert n_dev * hop_length >= cpad, "mesh too narrow for center padding"
+    return cpad, T_shard, nf_local, n_valid, right
+
+
+def sharded_stft(
     x: jnp.ndarray,
-    rate: int,
+    window_length: int,
+    hop_length: int,
     mesh: Mesh,
+    window_type: str = "hann",
     axis_name: str = "sp",
-    block_size: float = 0.400,
+    method: str = "fft",
 ):
-    """Integrated (absolute-gated) loudness of ``(B, T)`` K-weighted audio
-    sharded along T: per-shard block powers, global gating via psum.
+    """STFT of ``(B, T)`` audio sharded along T, frames sharded over
+    ``axis_name``.
 
-    Returns (B,) LUFS. The relative-gate second pass follows the same
-    psum pattern; this primitive demonstrates the collective layout for
-    metering signals that never fit on one chip.
+    Matches ``ops.fft.stft`` (``match_stride=False``, reflect center
+    padding — reference audio_signal.py:1123-1212) exactly on the first
+    ``n_valid`` frames; each device emits ``T_shard // hop + 1`` frames
+    and the globally-trailing ``n_dev - 1`` surplus frames are zeroed.
+    The center reflect-pad is materialized locally on the edge shards and
+    window overlap crosses shards via ppermute halos.
+
+    Returns ``(spec, n_valid)`` with ``spec`` complex64 of shape
+    ``(B, n_freq, n_dev * nf_local)`` sharded as ``P(None, None, sp)``.
     """
-    kernel = int(block_size * rate)
-    hop = kernel // 4
+    from ..ops.fft import _dft_matrices, get_window
+
+    T = x.shape[-1]
+    n_dev = mesh.shape[axis_name]
+    cpad, T_shard, nf_local, n_valid, right = _stft_geometry(
+        T, n_dev, window_length, hop_length
+    )
+    window = jnp.asarray(get_window(window_type, window_length))
+    if method in ("matmul", "matmul_bf16"):
+        C, S = _dft_matrices(window_type, window_length)
+        C, S = jnp.asarray(C), jnp.asarray(S)
+        prec = (
+            jax.lax.Precision.HIGH
+            if method == "matmul"
+            else jax.lax.Precision.DEFAULT
+        )
 
     def local(block):
-        nf = (block.shape[-1] - kernel) // hop + 1
-        idxm = (
-            np.arange(nf, dtype=np.int32)[:, None] * hop
-            + np.arange(kernel, dtype=np.int32)[None, :]
+        n = jax.lax.axis_size(axis_name)
+        d = jax.lax.axis_index(axis_name)
+        # left halo: cpad samples — neighbor tail, or own reflected head
+        left = _halo_from_left(block, cpad, axis_name)
+        reflect_head = block[..., 1 : cpad + 1][..., ::-1]
+        left = jnp.where(d == 0, reflect_head, left)
+        # right halo: `right` samples — neighbor head, or reflected tail
+        recv = _halo_from_right(block, right, axis_name)
+        reflect_tail = block[..., -cpad - 1 : -1][..., ::-1]
+        tail_fill = jnp.concatenate(
+            [
+                reflect_tail,
+                jnp.zeros(block.shape[:-1] + (right - cpad,), block.dtype),
+            ],
+            axis=-1,
+        ) if right > cpad else reflect_tail[..., :right]
+        rightx = jnp.where(d == n - 1, tail_fill, recv)
+
+        ext = jnp.concatenate([left, block, rightx], axis=-1)
+        seg = jax.lax.dynamic_slice_in_dim(
+            ext, d * hop_length, T_shard + window_length, axis=-1
         )
-        z = (block[..., idxm] ** 2).sum(-1) / kernel  # (B, nf)
-        l = -0.691 + 10 * jnp.log10(jnp.maximum(z, 1e-30))
-        keep = l > -70.0
-        s = jnp.sum(jnp.where(keep, z, 0.0), axis=-1)
-        c = jnp.sum(keep, axis=-1)
-        s = jax.lax.psum(s, axis_name)
-        c = jax.lax.psum(c, axis_name)
-        return (-0.691 + 10 * jnp.log10(s / jnp.maximum(c, 1)))[:, None]
+        idxm = (
+            np.arange(nf_local, dtype=np.int32)[:, None] * hop_length
+            + np.arange(window_length, dtype=np.int32)[None, :]
+        )
+        frames = seg[..., idxm]  # (B, nf_local, win)
+        j = d * nf_local + jnp.arange(nf_local)
+        frames = jnp.where((j < n_valid)[:, None], frames, 0.0)
+        if method in ("matmul", "matmul_bf16"):
+            spec = jax.lax.complex(
+                jnp.dot(frames, C, precision=prec),
+                jnp.dot(frames, S, precision=prec),
+            )
+        else:
+            spec = jnp.fft.rfft(frames * window, axis=-1)
+        return jnp.swapaxes(spec, -1, -2)  # (B, n_freq, nf_local)
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(None, axis_name),),
+        out_specs=P(None, None, axis_name),
+    )
+    return fn(x), n_valid
+
+
+def sharded_istft(
+    spec: jnp.ndarray,
+    window_length: int,
+    hop_length: int,
+    mesh: Mesh,
+    window_type: str = "hann",
+    axis_name: str = "sp",
+    method: str = "fft",
+    n_valid: int = None,
+) -> jnp.ndarray:
+    """Inverse of :func:`sharded_stft`: ``(B, n_freq, nf)`` frames
+    sharded over ``axis_name`` back to ``(B, T)`` audio sharded along T.
+
+    Windowed overlap-add with window-square normalization
+    (``torch.istft`` semantics, reference audio_signal.py:1214-1296).
+    OLA contributions crossing shard boundaries and the output re-shard
+    both ride one ppermute each; the normalization envelope is
+    accumulated per shard from the same (validity-masked) frames, so
+    edge effects match the single-device path exactly.
+    """
+    from ..ops.fft import _idft_matrices, _overlap_add, get_window
+
+    B, n_freq, nf = spec.shape
+    n_dev = mesh.shape[axis_name]
+    nf_local = nf // n_dev
+    assert nf_local * n_dev == nf, "frames must divide evenly over shards"
+    T_shard = (nf_local - 1) * hop_length
+    T = T_shard * n_dev
+    cpad = window_length // 2
+    if n_valid is None:
+        n_valid = T // hop_length + 1
+    _stft_geometry(T, n_dev, window_length, hop_length)  # re-check contract
+
+    window_np = get_window(window_type, window_length)
+    wsq = jnp.asarray((window_np * window_np).astype(np.float32))
+    if method in ("matmul", "matmul_bf16"):
+        Ci, Si = _idft_matrices(window_type, window_length)
+        Ci, Si = jnp.asarray(Ci), jnp.asarray(Si)
+        prec = (
+            jax.lax.Precision.HIGH
+            if method == "matmul"
+            else jax.lax.Precision.DEFAULT
+        )
+    else:
+        window = jnp.asarray(window_np)
+
+    olap = window_length - hop_length  # buffer overlap between shards
+    H_l = max(0, (n_dev - 1) * hop_length - cpad)
+    H_r = max(0, cpad - hop_length)
+
+    def local(spec_block):
+        n = jax.lax.axis_size(axis_name)
+        d = jax.lax.axis_index(axis_name)
+        S = jnp.swapaxes(spec_block, -1, -2)  # (B, nf_local, n_freq)
+        if method in ("matmul", "matmul_bf16"):
+            frames = jnp.dot(jnp.real(S), Ci, precision=prec) + jnp.dot(
+                jnp.imag(S), Si, precision=prec
+            )
+        else:
+            frames = jnp.fft.irfft(S, n=window_length, axis=-1) * window
+        j = d * nf_local + jnp.arange(nf_local)
+        mask = (j < n_valid).astype(frames.dtype)
+        frames = frames * mask[:, None]
+        # stack the window-square envelope as one extra batch row so the
+        # OLA + both exchanges run once
+        wf = jnp.broadcast_to(wsq, (1, nf_local, window_length)) * mask[:, None]
+        stacked = jnp.concatenate([frames, wf], axis=0)  # (B+1, nf, win)
+        buf = _overlap_add(
+            stacked, hop_length, T_shard + window_length
+        )  # (B+1, T_shard + win)
+
+        # exchange 1: merge OLA overlap between adjacent shard buffers.
+        # buffer d spans padded coords [d*(Ts+hop), d*(Ts+hop)+Ts+win);
+        # canonical region = first Ts+hop samples, tail overlaps the next.
+        canon = buf[..., : T_shard + hop_length]
+        tail = buf[..., T_shard + hop_length :]  # (B+1, win - hop)
+        perm = [(i, i + 1) for i in range(n - 1)]
+        recv = jax.lax.ppermute(tail, axis_name, perm)
+        recv = jnp.where(d == 0, jnp.zeros_like(recv), recv)
+        canon = canon.at[..., :olap].add(recv)
+
+        y = canon[:B]
+        norm = canon[B]
+        y = y / jnp.where(norm > 1e-11, norm, 1.0)
+
+        # exchange 2: re-shard from the frame grid to even sample shards.
+        # device d's output is padded coords [cpad + d*Ts, cpad + (d+1)*Ts),
+        # offset cpad - d*hop into its canon — can underflow into the left
+        # neighbor's tail or (for early shards) overflow into the right
+        # neighbor's head.
+        parts = [y]
+        if H_l > 0:
+            lt = jax.lax.ppermute(y[..., -H_l:], axis_name, perm)
+            lt = jnp.where(d == 0, jnp.zeros_like(lt), lt)
+            parts.insert(0, lt)
+        if H_r > 0:
+            perm_r = [(i + 1, i) for i in range(n - 1)]
+            rh = jax.lax.ppermute(y[..., :H_r], axis_name, perm_r)
+            rh = jnp.where(d == n - 1, jnp.zeros_like(rh), rh)
+            parts.append(rh)
+        ext = jnp.concatenate(parts, axis=-1)
+        start = H_l + cpad - d * hop_length
+        return jax.lax.dynamic_slice_in_dim(ext, start, T_shard, axis=-1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axis_name),),
         out_specs=P(None, axis_name),
     )
-    # every shard returns the same value; take shard 0's copy
-    out = fn(x)
-    return out[:, 0]
+    return fn(spec)
+
+
+def sharded_loudness(
+    x: jnp.ndarray,
+    rate: int,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    filter_class: str = "K-weighting",
+    block_size: float = 0.400,
+):
+    """Complete BS.1770-4 integrated loudness of ``(B, C, T)`` audio
+    sharded along T — K-weighting via halo FIR conv, then BOTH gating
+    stages (absolute at -70 LKFS, relative at ungated mean - 10;
+    reference loudness.py:176-247) with one psum round each. Returns
+    ``(B,)`` LUFS replicated across the mesh, matching
+    ``ops.loudness.integrated_loudness`` for signals that never fit on
+    one chip.
+    """
+    from ..ops.loudness import CHANNEL_GAINS, _exact_fir
+
+    B, C, T = x.shape
+    n_dev = mesh.shape[axis_name]
+    T_shard = T // n_dev
+    assert T_shard * n_dev == T, "time axis must divide evenly over shards"
+
+    kernel = jnp.asarray(_exact_fir(rate, filter_class))
+    filtered = sharded_fir_conv(x, kernel, mesh, axis_name)
+
+    T_g = block_size
+    kn = int(T_g * rate)
+    stride = int(T_g * rate * 0.25)
+    assert T >= kn, "signal shorter than one gating block"
+    assert T_shard % stride == 0, "shard length must divide into strides"
+    assert kn - stride <= T_shard, "gating block overlap must fit one shard"
+    nf_local = T_shard // stride
+    n_valid = math.ceil((T - kn) / stride) + 1
+    G = jnp.asarray(CHANNEL_GAINS[:C])
+
+    def local(block):
+        d = jax.lax.axis_index(axis_name)
+        halo = _halo_from_right(block, kn - stride, axis_name)
+        ext = jnp.concatenate([block, halo], axis=-1)
+        idxm = (
+            np.arange(nf_local, dtype=np.int32)[:, None] * stride
+            + np.arange(kn, dtype=np.int32)[None, :]
+        )
+        unfolded = ext[..., idxm]  # (B, C, nf_local, kn)
+        z = jnp.sum(unfolded * unfolded, axis=-1) / (T_g * rate)
+        l = -0.691 + 10.0 * jnp.log10(
+            jnp.maximum(jnp.einsum("c,bcn->bn", G, z), 1e-38)
+        )
+        j = d * nf_local + jnp.arange(nf_local)
+        valid = (j < n_valid)[None, :]
+
+        # absolute gate (eq. 5-6) — first psum round
+        above_abs = (l > -70.0) & valid
+        s_abs = jnp.sum(jnp.where(above_abs[:, None, :], z, 0.0), axis=-1)
+        c_abs = jnp.sum(above_abs, axis=-1)
+        s_abs = jax.lax.psum(s_abs, axis_name)  # (B, C)
+        c_abs = jax.lax.psum(c_abs, axis_name)  # (B,)
+        z_avg_abs = s_abs / c_abs[:, None]
+        Gamma_r = (
+            -0.691 + 10.0 * jnp.log10(jnp.sum(z_avg_abs * G, axis=-1)) - 10.0
+        )
+
+        # relative gate (eq. 7) — second psum round
+        above_both = above_abs & (l > Gamma_r[:, None])
+        s_both = jnp.sum(jnp.where(above_both[:, None, :], z, 0.0), axis=-1)
+        c_both = jnp.sum(above_both, axis=-1)
+        s_both = jax.lax.psum(s_both, axis_name)
+        c_both = jax.lax.psum(c_both, axis_name)
+        z_avg = s_both / c_both[:, None]
+
+        z_avg = jnp.where(jnp.isnan(z_avg), 0.0, z_avg)
+        z_avg = jnp.where(z_avg == jnp.inf, jnp.finfo(jnp.float32).max, z_avg)
+        z_avg = jnp.where(z_avg == -jnp.inf, jnp.finfo(jnp.float32).min, z_avg)
+        return -0.691 + 10.0 * jnp.log10(jnp.sum(G * z_avg, axis=-1))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axis_name),),
+        out_specs=P(),
+    )
+    return fn(filtered).astype(jnp.float32)

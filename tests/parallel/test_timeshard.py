@@ -5,12 +5,16 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from audiotools_tpu.ops.fft import istft, stft
 from audiotools_tpu.ops.filters import causal_fft_conv1d
+from audiotools_tpu.ops.loudness import integrated_loudness
 from audiotools_tpu.parallel import (
     make_mesh,
     sharded_fir_conv,
     sharded_frames,
-    sharded_loudness_blocks,
+    sharded_istft,
+    sharded_loudness,
+    sharded_stft,
 )
 
 
@@ -51,40 +55,130 @@ def test_sharded_frames_match_local():
     frame_length, hop = 512, 128
     x = jnp.asarray(np.random.RandomState(2).randn(B, T).astype(np.float32))
 
-    frames = np.asarray(sharded_frames(x, frame_length, hop, mesh))
-    # local reference framing (zero-padded tail like the sharded version)
-    xp = np.pad(np.asarray(x), ((0, 0), (0, frame_length - hop)))
-    n = T // hop
-    idx = np.arange(n)[:, None] * hop + np.arange(frame_length)[None, :]
-    ref = xp[:, idx]
-    assert frames.shape == ref.shape
-    assert np.abs(frames - ref).max() == 0
+    frames, n_valid = sharded_frames(x, frame_length, hop, mesh)
+    frames = np.asarray(frames)
+    # single-device reference framing: only complete windows
+    n_ref = 1 + (T - frame_length) // hop
+    assert n_valid == n_ref
+    idx = np.arange(n_ref)[:, None] * hop + np.arange(frame_length)[None, :]
+    ref = np.asarray(x)[:, idx]
+    assert np.abs(frames[:, :n_valid] - ref).max() == 0
+    # frames past the signal end are zeroed, not silently wrong
+    assert np.abs(frames[:, n_valid:]).max() == 0
 
 
-def test_sharded_loudness_blocks_close_to_meter():
-    """Sharded block-power gating agrees with the single-device block
-    computation (absolute gate only, matching its local analog)."""
+@pytest.mark.parametrize("hop_div", [2, 4])
+@pytest.mark.parametrize("method", ["fft", "matmul"])
+def test_sharded_stft_matches_single_device(hop_div, method):
+    mesh = make_mesh({"sp": 8})
+    win = 512
+    hop = win // hop_div
+    B, T = 2, 8 * 4 * win
+    x = jnp.asarray(np.random.RandomState(3).randn(B, T).astype(np.float32))
+
+    spec_sh, n_valid = sharded_stft(x, win, hop, mesh, method=method)
+    spec_ref = np.asarray(stft(x, win, hop, method=method))
+    assert n_valid == spec_ref.shape[-1]
+    got = np.asarray(spec_sh)[..., :n_valid]
+    scale = np.abs(spec_ref).max()
+    assert np.abs(got - spec_ref).max() / scale < 1e-5
+    # surplus frames are zeroed
+    assert np.abs(np.asarray(spec_sh)[..., n_valid:]).max() == 0
+
+
+@pytest.mark.parametrize("hop_div", [2, 4])
+def test_sharded_istft_roundtrip_matches_single_device(hop_div):
+    """sharded_istft(sharded_stft(x)) must equal single-device
+    istft(stft(x)) at 1e-5 — including the window-square normalization
+    at the signal edges (SURVEY §5.7 long-signal story)."""
+    mesh = make_mesh({"sp": 8})
+    win = 512
+    hop = win // hop_div
+    B, T = 2, 8 * 4 * win
+    x = jnp.asarray(np.random.RandomState(4).randn(B, T).astype(np.float32))
+
+    spec_sh, n_valid = sharded_stft(x, win, hop, mesh)
+    y_sh = np.asarray(
+        sharded_istft(spec_sh, win, hop, mesh, n_valid=n_valid)
+    )
+    assert y_sh.shape == (B, T)
+
+    spec_ref = stft(x, win, hop)
+    y_ref = np.asarray(istft(spec_ref, win, hop, length=T))
+    assert np.abs(y_sh - y_ref).max() < 1e-5
+    # and the round trip reconstructs the signal itself
+    assert np.abs(y_sh - np.asarray(x)).max() < 1e-4
+
+
+def test_sharded_istft_consumes_single_device_stft():
+    """Cross-check: a single-device spectrogram, zero-extended to the
+    sharded frame grid, inverts to the same audio."""
+    mesh = make_mesh({"sp": 8})
+    win, hop = 512, 128
+    B, T = 1, 8 * 4 * win
+    x = jnp.asarray(np.random.RandomState(5).randn(B, T).astype(np.float32))
+
+    spec_ref = stft(x, win, hop)
+    n_valid = spec_ref.shape[-1]
+    nf_pad = 8 * (T // 8 // hop + 1)
+    spec_pad = jnp.pad(spec_ref, ((0, 0), (0, 0), (0, nf_pad - n_valid)))
+    y = np.asarray(sharded_istft(spec_pad, win, hop, mesh, n_valid=n_valid))
+    y_ref = np.asarray(istft(spec_ref, win, hop, length=T))
+    assert np.abs(y - y_ref).max() < 1e-5
+
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_sharded_loudness_matches_meter(nch):
+    """Full BS.1770 meter (absolute AND relative gates, K-weighting) on
+    the 8-device mesh matches the single-device meter at 1e-5 LUFS."""
     mesh = make_mesh({"sp": 8})
     rate = 16000
-    B, T = 2, 8 * 16000 // 8 * 8  # 8 s sharded over 8 devices
-    x = np.random.RandomState(3).randn(B, T).astype(np.float32) * 0.1
+    B, T = 2, 8 * 17600  # 8.8 s sharded over 8 devices
+    rng = np.random.RandomState(6)
+    x = rng.randn(B, nch, T).astype(np.float32) * 0.1
+    # quiet stretch so both gates engage
+    x[:, :, T // 3 : T // 2] *= 1e-4
 
-    lufs_sh = np.asarray(sharded_loudness_blocks(jnp.asarray(x), rate, mesh))
+    lufs_sh = np.asarray(sharded_loudness(jnp.asarray(x), rate, mesh))
+    lufs_ref = np.asarray(
+        integrated_loudness(jnp.swapaxes(jnp.asarray(x), -1, -2), rate)
+    )
+    assert lufs_sh.shape == (B,)
+    assert np.abs(lufs_sh - lufs_ref).max() < 1e-5
 
-    # local reference: same block math on the full signal, per shard-local
-    # block boundaries
-    kernel = int(0.4 * rate)
-    hop = kernel // 4
-    T_shard = T // 8
-    zs, cs = np.zeros(B), np.zeros(B)
-    for s in range(8):
-        seg = x[:, s * T_shard : (s + 1) * T_shard]
-        nf = (seg.shape[-1] - kernel) // hop + 1
-        idx = np.arange(nf)[:, None] * hop + np.arange(kernel)[None, :]
-        z = (seg[:, idx] ** 2).sum(-1) / kernel
-        l = -0.691 + 10 * np.log10(np.maximum(z, 1e-30))
-        keep = l > -70
-        zs += np.where(keep, z, 0).sum(-1)
-        cs += keep.sum(-1)
-    ref = -0.691 + 10 * np.log10(zs / np.maximum(cs, 1))
-    assert np.abs(lufs_sh - ref).max() < 1e-3
+
+def test_sharded_loudness_relative_gate_engages():
+    """Construct a signal where skipping the relative gate changes the
+    answer, so the test fails if the second psum pass is dropped."""
+    mesh = make_mesh({"sp": 8})
+    rate = 16000
+    B, T = 1, 8 * 17600
+    rng = np.random.RandomState(7)
+    # loud head, long -40 dB-ish tail: tail passes the absolute gate but
+    # falls below (mean - 10) so the relative gate must remove it
+    x = np.concatenate(
+        [
+            rng.randn(B, 1, T // 4).astype(np.float32) * 0.5,
+            rng.randn(B, 1, 3 * T // 4).astype(np.float32) * 0.003,
+        ],
+        axis=-1,
+    )
+    lufs_sh = float(np.asarray(sharded_loudness(jnp.asarray(x), rate, mesh))[0])
+    lufs_ref = float(
+        np.asarray(integrated_loudness(jnp.swapaxes(jnp.asarray(x), -1, -2), rate))[0]
+    )
+    assert abs(lufs_sh - lufs_ref) < 1e-5
+
+    # absolute-only answer differs materially — proves the gate matters
+    from audiotools_tpu.ops.loudness import CHANNEL_GAINS, apply_k_weighting
+
+    filtered = np.asarray(apply_k_weighting(jnp.asarray(x), rate))
+    kn, stride = int(0.4 * rate), int(0.1 * rate)
+    nf = (T - kn) // stride + 1
+    idx = np.arange(nf)[:, None] * stride + np.arange(kn)[None, :]
+    z = (filtered[:, :, idx] ** 2).sum(-1) / (0.4 * rate)  # (B, C, nf)
+    l = -0.691 + 10 * np.log10((CHANNEL_GAINS[:1, None] * z).sum(1))
+    keep = l > -70.0
+    z_abs = np.where(keep[:, None], z, 0).sum(-1) / keep.sum(-1)
+    lufs_abs_only = float(-0.691 + 10 * np.log10(z_abs.sum(-1))[0])
+    assert abs(lufs_abs_only - lufs_ref) > 0.5

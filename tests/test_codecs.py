@@ -1,4 +1,5 @@
 """Compressed-codec tests (MP3 via libmp3lame/libmpg123)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -125,3 +126,39 @@ def test_apply_codec_vorbis_preset():
             c = np.corrcoef(out.numpy()[i, 0], sig.numpy()[i, 0])[0, 1]
             assert c > 0.95
         assert not np.allclose(out.numpy(), sig.numpy())
+
+
+def test_gsm_roundtrip_correlates():
+    """GSM 06.10 via libgsm: decoded 8 kHz audio stays highly correlated
+    with the input (it's a 13 kbps speech codec, not transparent)."""
+    from audiotools_tpu.io import codecs
+
+    if not codecs.gsm_available():
+        pytest.skip("libgsm not available")
+    t = np.arange(8000) / 8000
+    x = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)[None, :]
+    y = codecs.gsm_roundtrip(x)
+    assert y.shape == x.shape
+    assert np.corrcoef(x[0], y[0])[0, 1] > 0.98
+
+
+def test_apply_codec_gsm_preset():
+    """The GSM-FR preset (reference effects.py:14-25) round-trips through
+    resample-to-8k + libgsm + resample-back at the original length."""
+    from audiotools_tpu.io import codecs
+
+    if not codecs.gsm_available():
+        pytest.skip("libgsm not available")
+    from audiotools_tpu import AudioSignal
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    sig = AudioSignal(jnp.asarray(x[None, None, :]), sr)
+    out = sig.clone().apply_codec(preset="GSM-FR")
+    assert out.signal_length == sig.signal_length
+    assert out.sample_rate == sr
+    a = np.asarray(out.audio_data[0, 0])
+    # telephone-band content survives; exact waveform does not
+    assert np.corrcoef(x, a)[0, 1] > 0.9
+    assert np.abs(a - x).max() > 1e-4  # codec actually altered the audio
