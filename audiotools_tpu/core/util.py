@@ -147,7 +147,9 @@ def seed(random_seed):
 # file discovery (reference util.py:222-323)
 # -----------------------------------------------------------------------------
 
-AUDIO_EXTENSIONS = [".wav", ".flac", ".mp3", ".mp4"]
+# The reference also lists ".mp4" (util.py:222); no decoder for it exists
+# in this environment, so find_audio only advertises loadable formats.
+AUDIO_EXTENSIONS = [".wav", ".flac", ".mp3", ".ogg"]
 
 
 def find_audio(folder: str, ext: List[str] = AUDIO_EXTENSIONS):

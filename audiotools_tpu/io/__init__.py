@@ -1,7 +1,9 @@
 """Host-side audio I/O (strictly outside jit).
 
-WAV is decoded natively (`wav.py`); other formats raise with a clear
-message (the reference shells out to ffmpeg/librosa for those:
+WAV is decoded natively (`wav.py`), FLAC through the native C++ codec
+(`native/flacio.cpp`), MP3/Ogg through system codec libraries
+(`codecs.py`); other formats raise with a clear message (the reference
+shells out to ffmpeg/librosa for those:
 /root/reference/audiotools/core/ffmpeg.py:149-211).
 """
 from pathlib import Path
@@ -21,6 +23,19 @@ def audio_info(path):
     suffix = path.suffix.lower()
     if suffix == ".wav":
         return wav_info(path)
+    if suffix == ".flac":
+        from .. import native
+
+        sr, frames, ch, bits = native.flac_info(path)
+        return WavInfo(
+            sample_rate=sr,
+            num_frames=frames,
+            num_channels=ch,
+            bits_per_sample=bits,
+            format_tag=0,
+            data_offset=0,
+            data_size=0,
+        )
     if suffix in (".mp3", ".ogg"):
         data, sr = load_audio(path)
         return WavInfo(
@@ -34,7 +49,7 @@ def audio_info(path):
         )
     raise ValueError(
         f"Unsupported audio format '{path.suffix}'. "
-        "Native support: .wav, .mp3, .ogg."
+        "Native support: .wav, .flac, .mp3, .ogg."
     )
 
 
@@ -55,6 +70,10 @@ def load_audio(path, offset: float = 0.0, duration: float = None):
             except ValueError:
                 pass  # fall through to the Python codec (e.g. mu-law)
         return read_wav(path, offset=offset, duration=duration)
+    if suffix == ".flac":
+        from .. import native
+
+        return native.read_flac(path, offset=offset, duration=duration)
     if suffix == ".mp3":
         from . import codecs
 
@@ -65,16 +84,21 @@ def load_audio(path, offset: float = 0.0, duration: float = None):
         return codecs.read_ogg(path, offset=offset, duration=duration)
     raise ValueError(
         f"Unsupported audio format '{path.suffix}'. "
-        "Native support: .wav, .mp3, .ogg."
+        "Native support: .wav, .flac, .mp3, .ogg."
     )
 
 
 def save_audio(path, data: np.ndarray, sample_rate: int, subtype: str = "PCM_16"):
-    """Encode ``(C, T)`` float audio to disk (WAV, MP3, or Ogg/Vorbis)."""
+    """Encode ``(C, T)`` float audio to disk (WAV, FLAC, MP3, or Ogg/Vorbis)."""
     path = Path(path)
     suffix = path.suffix.lower()
     if suffix == ".wav":
         return write_wav(path, data, sample_rate, subtype=subtype)
+    if suffix == ".flac":
+        from .. import native
+
+        bits = 24 if subtype == "PCM_24" else 16
+        return native.write_flac(path, data, sample_rate, bits=bits)
     if suffix == ".mp3":
         from . import codecs
 
@@ -85,5 +109,5 @@ def save_audio(path, data: np.ndarray, sample_rate: int, subtype: str = "PCM_16"
         return codecs.write_ogg(path, data, sample_rate)
     raise ValueError(
         f"Unsupported audio format '{path.suffix}'. "
-        "Native write support: .wav, .mp3, .ogg."
+        "Native write support: .wav, .flac, .mp3, .ogg."
     )

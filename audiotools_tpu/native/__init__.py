@@ -168,3 +168,139 @@ def read_batch(paths, offsets, durations, n_threads: int = 0):
     if rc != 0:
         raise ValueError(f"native batch decode failed at item {-rc - 1}")
     return outs, [i[0] for i in infos]
+
+
+# ---------------------------------------------------------------------------
+# FLAC codec (flacio.cpp -> libatflac.so) — spec implementation, since the
+# environment has neither libFLAC nor ffmpeg (the reference decodes FLAC
+# through librosa/soundfile, audio_signal.py:499-507).
+# ---------------------------------------------------------------------------
+
+_FLAC_LIB_PATH = _HERE / "libatflac.so"
+_FLAC_SRC = _HERE / "flacio.cpp"
+_flac_lib = None
+_flac_tried = False
+
+
+def _build_flac() -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        str(_FLAC_SRC), "-o", str(_FLAC_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired):
+        return False
+
+
+def get_flac_library():
+    """Load (building if needed) the native FLAC codec, or None."""
+    global _flac_lib, _flac_tried
+    with _lock:
+        if _flac_lib is not None or _flac_tried:
+            return _flac_lib
+        _flac_tried = True
+        if (
+            not _FLAC_LIB_PATH.exists()
+            or _FLAC_LIB_PATH.stat().st_mtime < _FLAC_SRC.stat().st_mtime
+        ):
+            if not _build_flac():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_FLAC_LIB_PATH))
+        except OSError:
+            return None
+        lib.at_flac_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.at_flac_info.restype = ctypes.c_int
+        lib.at_flac_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
+        lib.at_flac_read.restype = ctypes.c_int64
+        lib.at_flac_write.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.at_flac_write.restype = ctypes.c_int
+        _flac_lib = lib
+        return _flac_lib
+
+
+def flac_available() -> bool:
+    return get_flac_library() is not None
+
+
+def flac_info(path):
+    """(sample_rate, num_frames, channels, bits) from STREAMINFO."""
+    lib = get_flac_library()
+    if lib is None:
+        raise RuntimeError("native FLAC codec unavailable")
+    sr = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    rc = lib.at_flac_info(
+        str(path).encode(), ctypes.byref(sr), ctypes.byref(frames),
+        ctypes.byref(ch), ctypes.byref(bits),
+    )
+    if rc != 0:
+        raise ValueError(f"could not parse FLAC: {path}")
+    return sr.value, frames.value, ch.value, bits.value
+
+
+def read_flac(path, offset: float = 0.0, duration: float = None):
+    """Decode a FLAC file -> ((C, T) float32 in [-1, 1], sample_rate)."""
+    sr, total, ch, _bits = flac_info(path)
+    start = min(int(round(offset * sr)), total) if offset else 0
+    if duration is None:
+        count = total - start
+    else:
+        count = min(int(round(duration * sr)), total - start)
+    count = max(count, 0)
+    out = np.zeros((ch, count), dtype=np.float32)
+    if count:
+        lib = get_flac_library()
+        got = lib.at_flac_read(
+            str(path).encode(), start, count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ch,
+        )
+        if got < 0:
+            raise ValueError(f"FLAC decode failed for {path}")
+    return out, sr
+
+
+def write_flac(path, data, sample_rate: int, bits: int = 16):
+    """Encode ``(C, T)`` float audio (in [-1, 1]) to a FLAC file."""
+    lib = get_flac_library()
+    if lib is None:
+        raise RuntimeError("native FLAC codec unavailable")
+    data = np.asarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        data = data[None, :]
+    C, T = data.shape
+    scale = float(1 << (bits - 1))
+    q = np.clip(np.rint(data * scale), -scale, scale - 1).astype(np.int32)
+    q = np.ascontiguousarray(q)
+    rc = lib.at_flac_write(
+        str(path).encode(),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        T, C, int(sample_rate), int(bits),
+    )
+    if rc != 0:
+        raise ValueError(f"FLAC encode failed for {path}")
+    return path
