@@ -1,7 +1,14 @@
 """Whisper mixin: features / transcripts / embeddings via HF transformers
 (reference `/root/reference/audiotools/core/whisper.py`). The HF Whisper
 model runs under torch on host; our signal provides numpy audio to it.
+
+.. warning:: **Experimental.** The build environment has no network
+   access, so this mixin has never executed against real Whisper weights
+   — only its surface and argument plumbing are covered by tests
+   (tests/core/test_display_playback.py::test_whisper_gated). Validate on
+   a networked host before relying on transcript/embedding output.
 """
+import warnings
 
 
 class WhisperMixin:
@@ -15,6 +22,12 @@ class WhisperMixin:
         import torch
         from transformers import WhisperForConditionalGeneration, WhisperProcessor
 
+        warnings.warn(
+            "WhisperMixin is experimental: it has never been validated "
+            "against real Whisper weights in this build environment "
+            "(offline). Verify output on a networked host.",
+            stacklevel=2,
+        )
         if device is None:
             device = torch.device("cuda" if torch.cuda.is_available() else "cpu")
         self.whisper_device = device

@@ -228,13 +228,18 @@ def apply_k_weighting(
         kernel = _composed_fir(rate, filter_class, zeros)
     else:
         kernel = _exact_fir(rate, filter_class)
-    if conv_method == "pallas":
+    if conv_method in ("pallas", "pallas_interpret"):
         from .pallas_kernels import MAX_TAPS, fir_conv_causal
 
         # Pallas compiles only on TPU; elsewhere (CPU test runs) fall
-        # through to the numerically-equivalent FFT path.
-        if len(kernel) <= MAX_TAPS and jax.default_backend() != "cpu":
-            return fir_conv_causal(audio, kernel)
+        # through to the numerically-equivalent FFT path —
+        # "pallas_interpret" instead runs the kernel in interpret mode so
+        # CI exercises the production meter's numeric path off-TPU.
+        interpret = conv_method == "pallas_interpret"
+        if len(kernel) <= MAX_TAPS and (
+            interpret or jax.default_backend() != "cpu"
+        ):
+            return fir_conv_causal(audio, kernel, interpret=interpret)
     block = 8192 if conv_method == "fft_os" else None
     return causal_fft_conv1d(audio, jnp.asarray(kernel), block_size=block)
 

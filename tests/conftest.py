@@ -6,6 +6,11 @@ Benchmarks (bench.py) run on the real TPU chip.
 """
 import os
 
+# No network in this environment: make hub-backed code (Whisper) fail
+# fast instead of burning a minute in connect timeouts.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )

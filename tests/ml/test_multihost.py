@@ -29,6 +29,7 @@ def _parse(path):
     return checks
 
 
+@pytest.mark.slow
 def test_two_process_tracker_and_sampler(tmp_path):
     port = _free_port()
     files = [tmp_path / f"out{i}.txt" for i in range(2)]

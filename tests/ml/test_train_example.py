@@ -24,6 +24,7 @@ def _run(tmp_path, steps):
     return ns
 
 
+@pytest.mark.slow
 def test_train_example_runs_and_resumes(tmp_path):
     _run(tmp_path, steps=2)
 

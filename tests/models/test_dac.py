@@ -23,10 +23,22 @@ def _tiny():
     )
 
 
-def test_forward_shapes():
-    model = _tiny()
+@pytest.fixture(scope="module")
+def tiny_model():
+    return _tiny()
+
+
+@pytest.fixture(scope="module")
+def tiny_params(tiny_model):
+    """One shared init: DAC params depend only on the config (conv nets),
+    so every test can reuse them and skip its own init compile."""
+    audio = jnp.zeros((1, 1, 1024))
+    return tiny_model.init(jax.random.PRNGKey(0), audio)
+
+
+def test_forward_shapes(tiny_model, tiny_params):
+    model, params = tiny_model, tiny_params
     audio = jnp.asarray(np.random.RandomState(0).randn(2, 1, 1000).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), audio)
     out = model.apply(params, audio)
     assert out["audio"].shape == (2, 1, 1000)
     assert out["codes"].shape[0] == 2 and out["codes"].shape[1] == 2
@@ -35,17 +47,16 @@ def test_forward_shapes():
     assert np.abs(np.asarray(out["audio"])).max() <= 1.0
 
 
-def test_hop_length_and_code_rate():
-    model = _tiny()
+def test_hop_length_and_code_rate(tiny_model, tiny_params):
+    model, params = tiny_model, tiny_params
     assert model.hop_length == 32
     audio = jnp.zeros((1, 1, 64 * 32))
-    params = model.init(jax.random.PRNGKey(0), audio)
     out = model.apply(params, audio)
     assert out["codes"].shape[-1] == 64
 
 
-def test_training_decreases_loss():
-    model = _tiny()
+def test_training_decreases_loss(tiny_model, tiny_params):
+    model = tiny_model
     sr = 16000
     t = np.arange(4096) / sr
     audio = np.stack(
@@ -53,7 +64,7 @@ def test_training_decreases_loss():
     ).astype(np.float32)[:, None, :]
     audio = jnp.asarray(audio)
 
-    params = model.init(jax.random.PRNGKey(0), audio)
+    params = tiny_params
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
     step = jax.jit(make_train_step(model, opt, sr))
@@ -67,10 +78,9 @@ def test_training_decreases_loss():
         assert np.isfinite(float(metrics[k]))
 
 
-def test_gradients_flow_everywhere():
-    model = _tiny()
+def test_gradients_flow_everywhere(tiny_model, tiny_params):
+    model, params = tiny_model, tiny_params
     audio = jnp.asarray(np.random.RandomState(0).randn(1, 1, 1024).astype(np.float32) * 0.3)
-    params = model.init(jax.random.PRNGKey(0), audio)
     (_, _), grads = jax.value_and_grad(
         lambda p: codec_loss(model, p, audio, 16000), has_aux=True
     )(params)
@@ -87,10 +97,9 @@ def test_gradients_flow_everywhere():
     assert not any("codebook" in p for p in zero_paths), zero_paths
 
 
-def test_save_load_roundtrip(tmp_path):
-    model = _tiny()
+def test_save_load_roundtrip(tmp_path, tiny_model, tiny_params):
+    model, params = tiny_model, tiny_params
     audio = jnp.zeros((1, 1, 512))
-    params = model.init(jax.random.PRNGKey(0), audio)
     model.save(str(tmp_path / "dac.pth"), params)
     model2, params2 = DAC.load(str(tmp_path / "dac.pth"))
     assert model2.encoder_rates == (2, 4, 4)
@@ -99,15 +108,15 @@ def test_save_load_roundtrip(tmp_path):
     assert np.allclose(np.asarray(out1), np.asarray(out2))
 
 
-def test_sharded_step_matches_replicated():
+def test_sharded_step_matches_replicated(tiny_model, tiny_params):
     """(dp, tp)-sharded training step gives the same loss as unsharded."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    model = _tiny()
+    model = tiny_model
     sr = 16000
     audio_host = (np.random.RandomState(0).randn(4, 1, 2048) * 0.1).astype(np.float32)
     audio = jnp.asarray(audio_host)
-    params = model.init(jax.random.PRNGKey(0), audio)
+    params = tiny_params
     opt = optax.adam(1e-3)
 
     # unsharded
@@ -139,10 +148,10 @@ def test_bf16_compute_dtype():
     """dtype=bfloat16 runs encoder/decoder convs in bf16 while keeping
     float32 params, float32 outputs, and finite gradients (v5e: 61 ms vs
     68 ms per train step)."""
-    kw = dict(encoder_dim=16, encoder_rates=(2, 4, 4, 4), latent_dim=32,
-              decoder_dim=64, n_codebooks=2, codebook_size=32,
+    kw = dict(encoder_dim=16, encoder_rates=(2, 4, 4), latent_dim=32,
+              decoder_dim=32, n_codebooks=2, codebook_size=32,
               codebook_dim=4, sample_rate=16000)
-    x = jnp.asarray((np.random.RandomState(0).randn(2, 1, 4096) * 0.1).astype(np.float32))
+    x = jnp.asarray((np.random.RandomState(0).randn(2, 1, 1024) * 0.1).astype(np.float32))
     m32 = DAC(**kw)
     params = jax.jit(m32.init)(jax.random.PRNGKey(0), x)
     mbf = DAC(**kw, dtype=jnp.bfloat16)
