@@ -333,7 +333,8 @@ def split_bands(
 
 
 def equalizer(
-    audio: jnp.ndarray, db: jnp.ndarray, sample_rate: int, zeros: int = 8
+    audio: jnp.ndarray, db: jnp.ndarray, sample_rate: int, zeros: int = 8,
+    conv_method: str = None,
 ) -> jnp.ndarray:
     """Mel-spaced graphic EQ: weight each band by ``10**db`` and sum
     (reference ``EffectMixin.equalizer``, effects.py:405-433).
@@ -347,6 +348,12 @@ def equalizer(
     so the (static) low-pass kernel bank collapses through the (traced)
     per-item weights into one ``(B, L)`` kernel — an (n_bands-1)x FLOP
     reduction over the band-split (v5e: 34 ms -> one short per-item conv).
+
+    ``conv_method``: ``None`` auto-selects — the per-item-kernel Pallas
+    MXU FIR on TPU for kernels inside its validated envelope (v5e:
+    2.0 ms vs 7.0 ms overlap-save at batch-64 x 5 s), pow2 overlap-save
+    otherwise. ``"pallas"``/``"pallas_interpret"``/``"fft"`` force a path
+    (interpret runs the kernel in interpret mode for CPU CI).
     """
     db = jnp.asarray(db, dtype=jnp.float32)
     if db.ndim == 1:
@@ -364,15 +371,38 @@ def equalizer(
     )  # (B, L)
     x = _edge_pad(audio, half)
     L = 2 * half + 1
-    block = _auto_block(L - 1, 8, 4096, 32768)
-    if block is not None:
-        y = overlap_save_valid(x, combined[:, None, :], block)
+    T = audio.shape[-1]
+    if conv_method is None:
+        conv_method = (
+            "pallas"
+            if jax.default_backend() == "tpu" and L <= 2048
+            else "fft"
+        )
+    if conv_method in ("pallas", "pallas_interpret") and L <= 2048:
+        # the conv output at full-conv index t + L - 1 is exactly the
+        # causal conv of the edge-padded signal with the REVERSED kernel
+        # at time t + L - 1, so one truncated causal MXU conv suffices
+        from .pallas_kernels import fir_conv_causal_batch
+
+        B_, C_, Tp = x.shape
+        g = combined[:, ::-1]
+        if C_ > 1:
+            g = jnp.repeat(g, C_, axis=0)
+        y = fir_conv_causal_batch(
+            x.reshape(B_ * C_, Tp), g,
+            interpret=conv_method == "pallas_interpret",
+        ).reshape(B_, C_, Tp)
+        y = y[..., L - 1 :]
     else:
-        n = _next_pow2(x.shape[-1])
-        X = jnp.fft.rfft(x, n=n)
-        H = jnp.fft.rfft(combined[:, None, ::-1], n=n)
-        y = jnp.fft.irfft(X * H, n=n)[..., L - 1 : L - 1 + audio.shape[-1]]
-    return weights[:, -1, None, None] * audio + y[..., : audio.shape[-1]]
+        block = _auto_block(L - 1, 8, 4096, 32768)
+        if block is not None:
+            y = overlap_save_valid(x, combined[:, None, :], block)
+        else:
+            n = _next_pow2(x.shape[-1])
+            X = jnp.fft.rfft(x, n=n)
+            H = jnp.fft.rfft(combined[:, None, ::-1], n=n)
+            y = jnp.fft.irfft(X * H, n=n)[..., L - 1 : L - 1 + T]
+    return weights[:, -1, None, None] * audio + y[..., :T]
 
 
 # -----------------------------------------------------------------------------

@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fir_conv_causal"]
+__all__ = ["fir_conv_causal", "fir_conv_causal_batch"]
 
 BLK = 128        # output tile width (lane dim)
 ROWS = 64        # output rows per grid step (sublane dim of the matmul)
@@ -158,3 +158,110 @@ def fir_conv_causal(x: jnp.ndarray, h: np.ndarray, interpret: bool = False):
 
     y = out.reshape(B, T_out)[:, :T]
     return y.reshape(batch_shape + (T,))
+
+
+def _make_batch_kernel(W_blk, S_blk):
+    def _kernel(x_ref, m_ref, o_ref, span, sem):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        dma = pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(t * ROWS, S_blk), :], span, sem
+        )
+        dma.start()
+        dma.wait()
+
+        acc = jnp.zeros((ROWS, BLK), dtype=jnp.float32)
+        for q in range(W_blk):
+            acc = acc + jax.lax.dot_general(
+                span[pl.ds(q, ROWS), :],
+                m_ref[0, q, :, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        o_ref[0, :, :] = acc
+
+    return _kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_gather_indices(K: int):
+    """Static (W_blk, BLK, BLK) gather map m -> h-index for building the
+    Toeplitz blocks of a TRACED kernel in-graph: index KP + j - (q*BLK + c),
+    with out-of-range entries redirected to a zero slot at position K."""
+    KP = _round_up(K - 1, 8 * BLK) if K > 1 else 0
+    W_blk = KP // BLK + 1
+    q = np.arange(W_blk)[:, None, None]
+    c = np.arange(BLK)[None, :, None]
+    j = np.arange(BLK)[None, None, :]
+    idx = KP + j - (q * BLK + c)
+    valid = (idx >= 0) & (idx < K)
+    idx = np.where(valid, idx, K)  # K = zero slot
+    return idx.astype(np.int32), KP, W_blk
+
+
+def fir_conv_causal_batch(
+    x: jnp.ndarray, h: jnp.ndarray, interpret: bool = False
+):
+    """Causal convolution of ``(B, T)`` signals with PER-ITEM (traced)
+    FIR kernels ``h`` of shape ``(B, K)`` — the MXU path for per-item
+    filter banks (telescoped equalizer, per-item low-pass cutoffs), where
+    :func:`fir_conv_causal`'s host-precomputed Toeplitz blocks don't
+    apply. The blocks are built in-graph with one static gather
+    (~W_blk*16K floats per item) and streamed per batch row; grid
+    iteration keeps each item's blocks VMEM-resident across its time
+    steps.
+    """
+    B, T = x.shape
+    K = h.shape[-1]
+    if h.shape[0] != B:
+        raise ValueError(f"kernel batch {h.shape[0]} != signal batch {B}")
+    if K > MAX_TAPS and not interpret:
+        raise ValueError(
+            f"fir_conv_causal_batch validated only up to {MAX_TAPS} taps "
+            f"(got {K}); use filters.overlap_save_valid"
+        )
+    idx, KP, W_blk = _toeplitz_gather_indices(K)
+    hz = jnp.concatenate(
+        [h.astype(jnp.float32), jnp.zeros((B, 1), jnp.float32)], axis=-1
+    )
+    M = hz[:, idx]  # (B, W_blk, BLK, BLK)
+
+    xf = x.astype(jnp.float32)
+    T_out = _round_up(T, CHUNK)
+    n_chunks = T_out // CHUNK
+    xp = jnp.pad(xf, ((0, 0), (KP, T_out - T + BLK)))
+    xb = xp.reshape(B, xp.shape[-1] // BLK, BLK)
+
+    S_blk = ROWS + KP // BLK
+
+    out = pl.pallas_call(
+        _make_batch_kernel(W_blk, S_blk),
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, W_blk, BLK, BLK),
+                lambda b, t: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROWS, BLK), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T_out // BLK, BLK), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S_blk, BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T_out * W_blk * BLK,
+            bytes_accessed=4 * (B * T_out * 2 + B * W_blk * BLK * BLK),
+            transcendentals=0,
+        ),
+    )(xb, M)
+
+    y = out.reshape(B, T_out)[:, :T]
+    return y

@@ -207,4 +207,6 @@ def test_low_pass_concrete_cutoff_tightens_support():
         lambda a, c: FL.low_pass(a, c, 44100, min_cutoff_hz=400.0)
     )(x, jnp.asarray([4000.0]))
     tight = FL.low_pass(x, jnp.asarray([4000.0]), 44100)  # concrete -> 4k support
-    assert np.abs(np.asarray(wide - tight)).max() < 1e-6
+    # 5e-6: same filter evaluated over different static supports; exact
+    # bits shift with XLA reassociation (e.g. backend optimization level)
+    assert np.abs(np.asarray(wide - tight)).max() < 5e-6

@@ -56,3 +56,39 @@ def test_loudness_pallas_falls_back_for_exact_kernel():
     a = np.asarray(L.loudness(x, 44100))
     b = np.asarray(L.loudness(x, 44100, conv_method="pallas"))
     assert np.abs(a - b).max() < 1e-6
+
+
+def test_fir_conv_causal_batch_per_item_kernels():
+    """Per-item (traced) kernel variant matches per-item FFT convs."""
+    from audiotools_tpu.ops.pallas_kernels import fir_conv_causal_batch
+
+    rng = np.random.RandomState(7)
+    B, T, K = 3, 5000, 481
+    x = jnp.asarray(rng.randn(B, T).astype(np.float32))
+    h = jnp.asarray((rng.randn(B, K) * 0.1).astype(np.float32))
+    got = np.asarray(fir_conv_causal_batch(x, h, interpret=True))
+    for i in range(B):
+        want = np.asarray(causal_fft_conv1d(x[i], h[i]))
+        assert np.abs(got[i] - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_fir_conv_causal_batch_rejects_mismatched_batch():
+    from audiotools_tpu.ops.pallas_kernels import fir_conv_causal_batch
+
+    x = jnp.zeros((2, 1000))
+    h = jnp.zeros((3, 65))
+    with pytest.raises(ValueError, match="batch"):
+        fir_conv_causal_batch(x, h, interpret=True)
+
+
+def test_equalizer_pallas_path_matches_fft():
+    """The auto-selected MXU equalizer path (production on TPU) against
+    the FFT evaluation of the same telescoped kernel, via interpret mode."""
+    from audiotools_tpu.ops.filters import equalizer
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 1, 22050).astype(np.float32))
+    db = jnp.asarray((rng.rand(2, 6) * 12 - 6).astype(np.float32))
+    y_fft = np.asarray(equalizer(x, db, 44100, conv_method="fft"))
+    y_pl = np.asarray(equalizer(x, db, 44100, conv_method="pallas_interpret"))
+    assert np.abs(y_pl - y_fft).max() / np.abs(y_fft).max() < 1e-4

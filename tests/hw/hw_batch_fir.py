@@ -1,0 +1,38 @@
+"""Hardware validation + timing of fir_conv_causal_batch (per-item
+kernels) and the Pallas equalizer path.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 590 python tests/hw/hw_batch_fir.py
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audiotools_tpu.ops.benchmark import device_time
+from audiotools_tpu.ops.filters import equalizer, overlap_save_valid
+from audiotools_tpu.ops.pallas_kernels import fir_conv_causal_batch
+
+print("platform:", jax.devices()[0].platform, flush=True)
+rng = np.random.RandomState(0)
+B, C, T = 64, 1, 220500
+x = jnp.asarray(rng.randn(B, C, T).astype(np.float32))
+db = jnp.asarray((rng.rand(B, 6) * 12 - 6).astype(np.float32))
+
+y_pl = np.asarray(jax.jit(lambda a: equalizer(a, db, 44100))(x))
+y_ff = np.asarray(jax.jit(lambda a: equalizer(a, db, 44100, conv_method="fft"))(x))
+print(f"eq hw rel err: {np.abs(y_pl - y_ff).max() / np.abs(y_ff).max():.2e}", flush=True)
+t_pl = device_time(lambda a: equalizer(a, db, 44100, conv_method="pallas"), x, iters=5)
+t_ff = device_time(lambda a: equalizer(a, db, 44100, conv_method="fft"), x, iters=5)
+print(f"equalizer: pallas {t_pl*1e3:.2f} ms  fft/os {t_ff*1e3:.2f} ms", flush=True)
+
+# envelope edge: 2048 taps
+h2 = jnp.asarray((rng.randn(8, 2048) * 0.05).astype(np.float32))
+x2 = jnp.asarray(rng.randn(8, 65536).astype(np.float32))
+got = np.asarray(jax.jit(lambda a: fir_conv_causal_batch(a, h2))(x2))
+xp = jnp.pad(x2, ((0, 0), (2047, 0)))
+want = np.asarray(overlap_save_valid(xp, h2, 8192, correlate=False))[..., :65536]
+print(f"2048-tap batch FIR rel err: {np.abs(got - want).max() / np.abs(want).max():.2e}", flush=True)
+
+# RESULTS (v5e, 2026-08-16): eq hw rel err 5.9e-07; equalizer pallas
+# 1.77 ms vs 8.01 ms fft/overlap-save (4.5x) at batch-64 x 5 s, 6 bands
+# (481-tap telescoped kernel); raw batch FIR at the same shapes 2.04 ms
+# vs 7.01 ms overlap-save; 2048-tap envelope validated at 6.0e-07.

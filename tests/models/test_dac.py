@@ -135,7 +135,11 @@ def test_sharded_step_matches_replicated(tiny_model, tiny_params):
     assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-2
 
 
+@pytest.mark.slow
 def test_graft_entry():
+    """The driver compile-checks entry() and dryrun_multichip(8) itself
+    every round (MULTICHIP_r*.json), so in-suite this is redundant wall
+    clock — kept under the slow marker for manual runs."""
     import __graft_entry__ as g
 
     fn, args = g.entry()

@@ -67,8 +67,9 @@ def test_sharded_frames_match_local():
     assert np.abs(frames[:, n_valid:]).max() == 0
 
 
-@pytest.mark.parametrize("hop_div", [2, 4])
-@pytest.mark.parametrize("method", ["fft", "matmul"])
+@pytest.mark.parametrize(
+    "hop_div,method", [(4, "fft"), (2, "matmul")]  # cross product adds no path
+)
 def test_sharded_stft_matches_single_device(hop_div, method):
     mesh = make_mesh({"sp": 8})
     win = 512
