@@ -7,8 +7,6 @@ jittable. The sox-based ``pitch_shift``/``time_stretch`` (effects.py:247-309,
 CPU-only and non-differentiable there) are replaced with an on-device,
 differentiable phase vocoder (``ops/stretch.py``).
 """
-import typing
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,8 +67,6 @@ class EffectMixin:
         convolution, so rolling the result is sample-exact equal to
         convolving with the rolled IR — and keeps the IR compact.
         """
-        from ..ops.filters import overlap_save_valid, _auto_block
-
         length = self.signal_length
         K = other.signal_length
         if K > length:

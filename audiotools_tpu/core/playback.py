@@ -14,7 +14,7 @@ import subprocess
 from pathlib import Path
 from tempfile import NamedTemporaryFile
 
-from .util import _close_temp_files, format_figure
+from .util import _close_temp_files
 
 _TEMPLATES = Path(__file__).parent / "templates"
 headers = (_TEMPLATES / "headers.html").read_text()

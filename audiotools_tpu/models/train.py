@@ -3,16 +3,13 @@ benchmark (BASELINE.json config 5): host loader -> on-TPU augment ->
 model -> multi-scale STFT + mel + waveform losses, as one jitted SPMD
 program over a device mesh.
 """
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core import AudioSignal
-from ..metrics.distance import l1_loss, sisdr_loss
+from ..metrics.distance import l1_loss
 from ..metrics.spectral import MelSpectrogramLoss, MultiScaleSTFTLoss
 
 LOSS_WEIGHTS = {

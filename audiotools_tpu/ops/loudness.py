@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .filters import biquad, causal_fft_conv1d, fir_from_biquad
+from .filters import causal_fft_conv1d, fir_from_biquad
 
 __all__ = [
     "design_filters",

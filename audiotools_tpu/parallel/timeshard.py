@@ -20,12 +20,11 @@ Primitives
   sharded time with two psum gating rounds.
 """
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 __all__ = [
