@@ -36,3 +36,11 @@ print(f"2048-tap batch FIR rel err: {np.abs(got - want).max() / np.abs(want).max
 # 1.77 ms vs 8.01 ms fft/overlap-save (4.5x) at batch-64 x 5 s, 6 bands
 # (481-tap telescoped kernel); raw batch FIR at the same shapes 2.04 ms
 # vs 7.01 ms overlap-save; 2048-tap envelope validated at 6.0e-07.
+
+# NEGATIVE RESULT (v5e, 2026-08-16): rewriting the phase vocoder in pure
+# phasor algebra (dphase as z1*conj(z0)/(|z0||z1|), integration as a
+# complex cumprod via associative_scan, static exp(i*t*phi) table — no
+# atan2/exp) was numerically exact (3e-7 vs a float128 oracle) but SLOWER:
+# 14.8 ms vs 6.8 ms. jnp.cumsum over f32 has a fast native TPU lowering
+# while a complex-multiply associative_scan materializes log-depth
+# concats over the 226 MB spec. The angle-domain formulation stays.
