@@ -131,21 +131,38 @@ def read_wav(path, offset: float = 0.0, duration: float = None):
     return out[:, :got], sr
 
 
+def _run_batch(batch_fn, paths, starts, counts, outs, chans, n_threads):
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    c_starts = (ctypes.c_int64 * n)(*starts)
+    c_counts = (ctypes.c_int64 * n)(*counts)
+    c_chans = (ctypes.c_int32 * n)(*chans)
+    c_outs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for o in outs]
+    )
+    rc = batch_fn(c_paths, n, c_starts, c_counts, c_outs, c_chans, n_threads)
+    if rc != 0:
+        raise ValueError(f"native batch decode failed at item {-rc - 1}")
+
+
 def read_batch(paths, offsets, durations, n_threads: int = 0):
     """Decode a batch of excerpts in parallel (C threads, no GIL).
 
-    Returns a list of (C, T) float32 arrays, zero-padded to the requested
-    duration, plus the list of sample rates.
+    Dispatches per extension: WAV through the wavio batch decoder, FLAC
+    through the flacio one (mixed batches fine). Returns a list of
+    (C, T) float32 arrays, zero-padded to the requested duration, plus
+    the list of sample rates.
     """
-    lib = get_library()
-    if lib is None:
-        raise RuntimeError("native wavio unavailable")
     n = len(paths)
-    infos = [wav_info(p) for p in paths]
-    starts = []
-    counts = []
-    outs = []
-    chans = []
+    suffixes = [Path(str(p)).suffix.lower() for p in paths]
+    infos = []
+    for p, sfx in zip(paths, suffixes):
+        if sfx == ".flac":
+            sr, total, ch, _bits = flac_info(p)
+            infos.append((sr, total, ch))
+        else:
+            infos.append(wav_info(p))
+    starts, counts, outs, chans = [], [], [], []
     for (sr, total, ch), off, dur in zip(infos, offsets, durations):
         start = min(int(round(off * sr)), total)
         count = int(round(dur * sr))
@@ -155,18 +172,29 @@ def read_batch(paths, offsets, durations, n_threads: int = 0):
         # no zero fill: the C side pads short reads itself
         outs.append(np.empty((ch, count), dtype=np.float32))
 
-    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
-    c_starts = (ctypes.c_int64 * n)(*starts)
-    c_counts = (ctypes.c_int64 * n)(*counts)
-    c_chans = (ctypes.c_int32 * n)(*chans)
-    c_outs = (ctypes.POINTER(ctypes.c_float) * n)(
-        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for o in outs]
-    )
-    rc = lib.at_wav_read_batch(
-        c_paths, n, c_starts, c_counts, c_outs, c_chans, n_threads
-    )
-    if rc != 0:
-        raise ValueError(f"native batch decode failed at item {-rc - 1}")
+    groups = {}
+    for i, sfx in enumerate(suffixes):
+        groups.setdefault(".flac" if sfx == ".flac" else ".wav", []).append(i)
+    for sfx, idxs in groups.items():
+        if sfx == ".flac":
+            lib = get_flac_library()
+            if lib is None:
+                raise RuntimeError("native FLAC codec unavailable")
+            fn = lib.at_flac_read_batch
+        else:
+            lib = get_library()
+            if lib is None:
+                raise RuntimeError("native wavio unavailable")
+            fn = lib.at_wav_read_batch
+        _run_batch(
+            fn,
+            [paths[i] for i in idxs],
+            [starts[i] for i in idxs],
+            [counts[i] for i in idxs],
+            [outs[i] for i in idxs],
+            [chans[i] for i in idxs],
+            n_threads,
+        )
     return outs, [i[0] for i in infos]
 
 
@@ -237,6 +265,16 @@ def get_flac_library():
             ctypes.c_int32,
         ]
         lib.at_flac_write.restype = ctypes.c_int
+        lib.at_flac_read_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.at_flac_read_batch.restype = ctypes.c_int
         _flac_lib = lib
         return _flac_lib
 

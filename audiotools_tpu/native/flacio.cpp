@@ -25,6 +25,8 @@
 //          byte-indexable without a seektable)
 //   at_flac_write(path, interleaved_int32, frames, channels, sr, bits)
 //       -> 0 on success
+//   at_flac_read_batch(paths, n, starts, counts, outs, channels, threads)
+//       -> 0 on success (parallel worker threads, like at_wav_read_batch)
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 flacio.cpp -o libatflac.so
 
@@ -32,6 +34,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -633,6 +636,37 @@ int at_flac_write(const char* path, const int32_t* data, int64_t frames,
   size_t wrote = fwrite(bw.out.data(), 1, bw.out.size(), f);
   fclose(f);
   return wrote == bw.out.size() ? 0 : -1;
+}
+
+// Decode a batch of excerpts in parallel (same contract as
+// at_wav_read_batch in wavio.cpp): outs[i] holds channels[i] * counts[i]
+// floats, planar, zero-padded where the file runs short.
+int at_flac_read_batch(const char** paths, int32_t n, const int64_t* starts,
+                       const int64_t* counts, float** outs,
+                       const int32_t* channels, int32_t n_threads) {
+  if (n_threads <= 0)
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+  if (n_threads > n) n_threads = n;
+  if (n_threads < 1) n_threads = 1;
+
+  std::vector<int> status(n, 0);
+  std::vector<std::thread> workers;
+  for (int32_t k = 0; k < n_threads; ++k) {
+    workers.emplace_back([&, k]() {
+      for (int32_t i = k; i < n; i += n_threads) {
+        memset(outs[i], 0,
+               sizeof(float) * static_cast<size_t>(channels[i]) *
+                   static_cast<size_t>(counts[i]));
+        int64_t got =
+            at_flac_read(paths[i], starts[i], counts[i], outs[i], channels[i]);
+        if (got < 0) status[i] = 1;
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  for (int32_t i = 0; i < n; ++i)
+    if (status[i]) return -(i + 1);
+  return 0;
 }
 
 }  // extern "C"

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from audiotools_tpu import native
-from audiotools_tpu.io import load_audio, read_wav, write_wav
+from audiotools_tpu.io import load_audio, read_wav, save_audio, write_wav
 
 pytestmark = pytest.mark.skipif(
     not native.available(), reason="native toolchain unavailable"
@@ -97,3 +97,35 @@ def test_load_audio_uses_native(wavs):
     audio, sr = load_audio(p, offset=0.1, duration=0.3)
     ref, _ = read_wav(p, offset=0.1, duration=0.3)
     assert np.abs(audio - ref).max() < 1e-6
+
+
+def test_read_batch_mixed_wav_flac(tmp_path):
+    """Batch decode dispatches per extension: WAV via the wavio threads,
+    FLAC via the flacio threads, order preserved, short reads padded."""
+    if not native.flac_available():
+        pytest.skip("native FLAC codec unavailable")
+    rng = np.random.RandomState(3)
+    paths, refs = [], []
+    for i in range(4):
+        x = (rng.randn(1, 8000) * 0.2).astype(np.float32)
+        if i % 2:
+            p = tmp_path / f"m{i}.flac"
+            native.write_flac(p, x, 16000)
+            q = np.clip(np.rint(x * 32768), -32768, 32767) / 32768.0
+        else:
+            p = tmp_path / f"m{i}.wav"
+            save_audio(p, x, 16000, subtype="FLOAT")
+            q = x
+        paths.append(p)
+        refs.append(q.astype(np.float32))
+
+    outs, srs = native.read_batch(paths, [0.1] * 4, [0.25] * 4)
+    assert srs == [16000] * 4
+    for o, r in zip(outs, refs):
+        np.testing.assert_allclose(o, r[:, 1600 : 1600 + 4000], atol=1e-6)
+
+    # excerpt past EOF zero-pads
+    outs2, _ = native.read_batch(paths, [0.4] * 4, [0.25] * 4)
+    for o in outs2:
+        assert o.shape == (1, 4000)
+        assert np.all(o[:, 1600:] == 0)
