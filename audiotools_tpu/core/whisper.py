@@ -3,10 +3,14 @@
 model runs under torch on host; our signal provides numpy audio to it.
 
 .. warning:: **Experimental.** The build environment has no network
-   access, so this mixin has never executed against real Whisper weights
-   — only its surface and argument plumbing are covered by tests
-   (tests/core/test_display_playback.py::test_whisper_gated). Validate on
-   a networked host before relying on transcript/embedding output.
+   access, so this mixin has never executed against *pretrained* Whisper
+   weights. Its full code path (``from_pretrained`` → resample →
+   feature extraction → ``generate`` → decode → encoder embeddings) IS
+   executed end-to-end in CI against a tiny random-weight checkpoint
+   synthesized offline (tests/core/test_whisper_real.py); only the
+   linguistic quality of transcripts — a property of the weights, not
+   this code — remains unvalidated. Verify once on a networked host
+   before relying on transcript/embedding *content*.
 """
 import warnings
 
@@ -23,9 +27,10 @@ class WhisperMixin:
         from transformers import WhisperForConditionalGeneration, WhisperProcessor
 
         warnings.warn(
-            "WhisperMixin is experimental: it has never been validated "
-            "against real Whisper weights in this build environment "
-            "(offline). Verify output on a networked host.",
+            "WhisperMixin is experimental: its plumbing is CI-validated "
+            "against a random-weight checkpoint, but it has never run "
+            "pretrained Whisper weights in this build environment "
+            "(offline). Verify transcript content on a networked host.",
             stacklevel=2,
         )
         if device is None:
@@ -73,7 +78,9 @@ class WhisperMixin:
 
         with torch.inference_mode():
             input_features = input_features.to(self.whisper_device)
-            generated_ids = self.whisper_model.generate(inputs=input_features)
+            generated_ids = self.whisper_model.generate(
+                input_features=input_features
+            )
 
         transcription = self.whisper_processor.batch_decode(generated_ids)
         return transcription[0]
