@@ -41,6 +41,27 @@ class EffectMixin:
         if other_eq is not None:
             other = other.equalizer(other_eq)
 
+        # The SNR gain needs both loudnesses (self's, and other's after
+        # EQ). When neither is cached and the shapes line up, run ONE
+        # meter over the stacked batch instead of two: gating is
+        # per-item, so the result is bit-identical, and the fixed
+        # per-call cost (K-weighting setup, block framing) is paid once.
+        if (
+            self._loudness is None
+            and other._loudness is None
+            and other.audio_data.shape == self.audio_data.shape
+            and other.sample_rate == self.sample_rate
+        ):
+            from ..ops import loudness as loudness_ops
+
+            stacked = loudness_ops.loudness(
+                jnp.concatenate([self.audio_data, other.audio_data], axis=0),
+                self.sample_rate,
+            )
+            nb = self.audio_data.shape[0]
+            self._loudness = stacked[:nb]
+            other._loudness = stacked[nb:]
+
         tgt_loudness = self.loudness() - snr
         other = other.normalize(tgt_loudness)
 

@@ -93,23 +93,32 @@ def pitch_shift(
     method: str = "matmul",
 ) -> jnp.ndarray:
     """Shift pitch by ``n_semitones`` keeping duration (sox ``pitch``
-    semantics). Stretch by ``2**(-n/12)`` then resample back."""
+    semantics): a time stretch by ``2**(-n/12)`` composed with a resample
+    by the same ratio. The two commute, so the stretch (the expensive
+    STFT/vocoder leg) always runs on whichever side of the resample has
+    FEWER samples: resample-first for up-shifts (``rate < 1`` shrinks the
+    signal), stretch-first for down-shifts."""
     T = audio.shape[-1]
     rate = 2.0 ** (-float(n_semitones) / 12.0)
-    stretched = time_stretch(audio, rate, window_length, hop_length, method)
-    # Resample from sample_rate/rate to sample_rate with a rational
-    # approximation: the smallest denominator that keeps the pitch-ratio
-    # error under 2e-5 (< 0.035 cents). Small denominators mean small
-    # polyphase banks (e.g. +/-2 semitones -> 49/55); some intervals
-    # need larger ones (e.g. +/-7 semitones, whose best small fraction
-    # 2/3 is ~2 cents off).
+    # Rational approximation of the resample ratio: the smallest
+    # denominator that keeps the pitch-ratio error under 2e-5
+    # (< 0.035 cents). Small denominators mean small polyphase banks
+    # (e.g. +/-2 semitones -> 49/55); some intervals need larger ones
+    # (e.g. +/-7 semitones, whose best small fraction 2/3 is ~2 cents off).
     frac = Fraction(rate)
     for cap in (60, 125, 250, 500, 1000, 5000):
         frac = Fraction(rate).limit_denominator(cap)
         if abs(float(frac) - rate) / rate < 2e-5:
             break
     old_sr, new_sr = frac.denominator, frac.numerator
-    out = _resample.resample(stretched, old_sr, new_sr)
+    if rate < 1.0:
+        # Pitch up: resample shrinks by `rate`; vocoder runs on the
+        # short signal (~11% fewer STFT samples at +2 semitones).
+        shrunk = _resample.resample(audio, old_sr, new_sr)
+        out = time_stretch(shrunk, rate, window_length, hop_length, method)
+    else:
+        stretched = time_stretch(audio, rate, window_length, hop_length, method)
+        out = _resample.resample(stretched, old_sr, new_sr)
     if out.shape[-1] < T:
         out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, T - out.shape[-1])])
     return out[..., :T]
