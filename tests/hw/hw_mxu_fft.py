@@ -23,16 +23,20 @@ def _dft_mat(n, sign):
     return np.exp(sign * 2j * np.pi * np.outer(k, k) / n).astype(np.complex64)
 
 
+def _c(a):
+    # axon cannot device_put complex arrays; assemble on device
+    return jax.lax.complex(jnp.asarray(a.real.copy()), jnp.asarray(a.imag.copy()))
+
+
 def make_fft_ct(N1, N2, sign, precision):
-    W1 = jnp.asarray(_dft_mat(N1, sign))
-    W2 = jnp.asarray(_dft_mat(N2, sign))
-    tw = jnp.asarray(
-        np.exp(
-            sign * 2j * np.pi * np.outer(np.arange(N1), np.arange(N2)) / (N1 * N2)
-        ).astype(np.complex64)
-    )
+    W1_np = _dft_mat(N1, sign)
+    W2_np = _dft_mat(N2, sign)
+    tw_np = np.exp(
+        sign * 2j * np.pi * np.outer(np.arange(N1), np.arange(N2)) / (N1 * N2)
+    ).astype(np.complex64)
 
     def fft_ct(z):
+        W1, W2, tw = _c(W1_np), _c(W2_np), _c(tw_np)
         z = z.reshape(z.shape[:-1] + (N1, N2))
         z = jnp.einsum("...nt,nk->...kt", z, W1, precision=precision)
         z = z * tw
@@ -45,9 +49,10 @@ def make_fft_ct(N1, N2, sign, precision):
 def make_rfft(N, N1, N2, precision):
     M = N // 2
     fft_ct = make_fft_ct(N1, N2, -1, precision)
-    w = jnp.asarray(np.exp(-2j * np.pi * np.arange(M + 1) / N).astype(np.complex64))
+    w_np = np.exp(-2j * np.pi * np.arange(M + 1) / N).astype(np.complex64)
 
     def rfft_mm(x):
+        w = _c(w_np)
         z = jax.lax.complex(x[..., 0::2], x[..., 1::2])
         Z = fft_ct(z)
         Zf = jnp.concatenate([Z, Z[..., :1]], axis=-1)
@@ -62,9 +67,10 @@ def make_rfft(N, N1, N2, precision):
 def make_irfft(N, N1, N2, precision):
     M = N // 2
     ifft_ct = make_fft_ct(N1, N2, +1, precision)
-    w = jnp.asarray(np.exp(2j * np.pi * np.arange(M + 1) / N).astype(np.complex64))
+    w_np = np.exp(2j * np.pi * np.arange(M + 1) / N).astype(np.complex64)
 
     def irfft_mm(X):
+        w = _c(w_np)
         Xr = jnp.conj(X[..., ::-1])
         E = 0.5 * (X + Xr)
         O = 0.5 * w * (X - Xr)
@@ -120,3 +126,11 @@ for prec in ("default", "highest"):
     print(f"mxu conv [{prec}]: {t*1e3:.2f} ms  rel_err={err:.2e}", flush=True)
 
 print("DONE", flush=True)
+
+# RESULT (v5e, 2026-08-16): xla rfft(2^18)x64 = 3.05 ms, irfft = 4.87 ms,
+# full conv = 12.82 ms. MXU CT (512x256) rfft [highest] = 3.44 ms,
+# conv = 12.52 ms (rel 7.7e-07); [default/bf16] conv = 10.08 ms at 7.3e-03.
+# NEGATIVE: XLA's native TPU FFT already matches the MXU formulation at
+# this size — RIR convolve stays on jnp.fft. (Contrast 2^19, where XLA
+# rfft is 14 ms — the crossover is between 2^18 and 2^19; convolve's
+# aliasing-corrected path already keeps transforms at 2^18.)

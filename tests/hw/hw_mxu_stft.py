@@ -52,21 +52,24 @@ def _dft_mat(n, sign):
     return np.exp(sign * 2j * np.pi * np.outer(k, k) / n).astype(np.complex64)
 
 
+def _c(a):
+    # the axon tunnel cannot device_put complex arrays (UNIMPLEMENTED);
+    # assemble them on device from real planes
+    return jax.lax.complex(jnp.asarray(a.real.copy()), jnp.asarray(a.imag.copy()))
+
+
 def make_ct_rfft(N, N1, N2, precision):
     M = N // 2
     assert N1 * N2 == M
-    W1 = jnp.asarray(_dft_mat(N1, -1))
-    W2 = jnp.asarray(_dft_mat(N2, -1))
-    tw = jnp.asarray(
-        np.exp(-2j * np.pi * np.outer(np.arange(N1), np.arange(N2)) / M).astype(
-            np.complex64
-        )
-    )
-    w_unt = jnp.asarray(
-        np.exp(-2j * np.pi * np.arange(M + 1) / N).astype(np.complex64)
-    )
+    W1_np = _dft_mat(N1, -1)
+    W2_np = _dft_mat(N2, -1)
+    tw_np = np.exp(
+        -2j * np.pi * np.outer(np.arange(N1), np.arange(N2)) / M
+    ).astype(np.complex64)
+    w_unt_np = np.exp(-2j * np.pi * np.arange(M + 1) / N).astype(np.complex64)
 
     def rfft_ct(fr):
+        W1, W2, tw, w_unt = _c(W1_np), _c(W2_np), _c(tw_np), _c(w_unt_np)
         xw = fr * win
         z = jax.lax.complex(xw[..., 0::2], xw[..., 1::2])  # (..., M)
         z = z.reshape(z.shape[:-1] + (N1, N2))
@@ -98,3 +101,12 @@ for (N1, N2) in ((32, 32), (64, 16), (128, 8)):
         )
 
 print("DONE", flush=True)
+
+# RESULT (v5e, 2026-08-16): direct window-fused DFT matmul [HIGH] on
+# pre-framed (64,435,2048) = 2.07 ms; xla framed rfft = 7.74 ms. CT
+# split is a NET LOSS at frame size: 32x32 = 12.1 ms, 64x16 = 12.0,
+# 128x8 = 9.7 [highest] (8.3 default) — the 32x FLOP cut is swamped by
+# small-contraction MXU inefficiency + twiddle/layout shuffles. The
+# direct matmul stays. Full stft(method='matmul') is 5.85 ms, so ~2.6 ms
+# is framing/pad/transpose around the 2.07 ms matmul -> see
+# hw_stft_conv.py for the fused conv lowering.
