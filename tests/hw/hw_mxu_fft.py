@@ -11,6 +11,10 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 590 python tests/hw/hw_mxu_f
 import numpy as np
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from audiotools_tpu.ops.benchmark import device_time

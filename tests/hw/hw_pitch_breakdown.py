@@ -12,6 +12,10 @@ from fractions import Fraction
 import numpy as np
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from audiotools_tpu.ops import fft as F

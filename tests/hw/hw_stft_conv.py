@@ -14,6 +14,10 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 590 python tests/hw/hw_stft_
 import numpy as np
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -29,6 +33,7 @@ rng = np.random.RandomState(0)
 x = jnp.asarray(rng.randn(B, 1, T).astype(np.float32) * 0.1)
 
 def ms(fn, arg, iters=5):
+    print("  compiling...", flush=True)
     return device_time(fn, arg, iters=iters) * 1e3
 
 print(f"stft matmul (current): {ms(lambda a: F.stft(a, WIN, HOP, 'hann', method='matmul'), x):.2f} ms", flush=True)
