@@ -111,3 +111,9 @@ got_y = np.asarray(jax.jit(lambda s: istft_conv(s)[:1])(spec))
 print(f"istft conv err vs matmul: {np.abs(got_y - ref_y).max() / np.abs(ref_y).max():.2e}", flush=True)
 
 print("DONE", flush=True)
+
+# RESULT (v5e, 2026-08-17): stft matmul 6.17 ms; stft-as-strided-conv
+# 17.28 ms [HIGH] / 11.83 [DEFAULT]; istft-as-transposed-conv 5112 ms(!)
+# [HIGH] — XLA lowers the 2048-wide-kernel strided conv without MXU
+# im2col tiling, and the lhs-dilated transposed conv is catastrophic.
+# NEGATIVE: the framed-matmul formulation stays.
