@@ -1,0 +1,75 @@
+"""Probe: where the istft's time goes (inverse-DFT matmul vs overlap-add
+vs envelope division) at time_stretch shapes (484 frames, win 2048 hop 512).
+
+istft(matmul) = 7.8 ms but the iDFT matmul alone should be ~2.3 ms —
+if the OLA's grouped slice-adds dominate, they're the next kernel target.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 590 python tests/hw/hw_istft_parts.py
+"""
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from audiotools_tpu.ops.benchmark import device_time
+from audiotools_tpu.ops.fft import _idft_matrices, _overlap_add, get_window
+
+print("platform:", jax.devices()[0].platform, flush=True)
+
+B, NT, WIN, HOP = 64, 484, 2048, 512
+rng = np.random.RandomState(0)
+spec_re = jnp.asarray(rng.randn(B, NT, WIN // 2 + 1).astype(np.float32))
+spec_im = jnp.asarray(rng.randn(B, NT, WIN // 2 + 1).astype(np.float32))
+frames = jnp.asarray(rng.randn(B, NT, WIN).astype(np.float32))
+
+def ms(fn, arg, iters=5):
+    return device_time(fn, arg, iters=iters) * 1e3
+
+Ci, Si = _idft_matrices("hann", WIN)
+
+
+def idft(re):
+    return jnp.dot(re, jnp.asarray(Ci), precision=jax.lax.Precision.HIGH) + jnp.dot(
+        spec_im, jnp.asarray(Si), precision=jax.lax.Precision.HIGH
+    )
+
+
+print(f"iDFT matmul x2: {ms(idft, spec_re):.2f} ms", flush=True)
+
+out_len = WIN + HOP * (NT - 1)
+print(f"overlap_add: {ms(lambda f: _overlap_add(f, HOP, out_len), frames):.2f} ms", flush=True)
+
+wsq = get_window("hann", WIN).astype(np.float64) ** 2
+norm = np.zeros(out_len, dtype=np.float64)
+for i in range(NT):
+    norm[i * HOP : i * HOP + WIN] += wsq
+norm_j = np.where(norm > 1e-11, norm, 1.0).astype(np.float32)
+y = jnp.asarray(rng.randn(B, out_len).astype(np.float32))
+print(f"env division: {ms(lambda a: a / jnp.asarray(norm_j), y):.2f} ms", flush=True)
+
+
+# OLA alternative: transposed reshape — scatter frames into a
+# (B, nt, r, hop) tensor viewed as r diagonal streams, then sum r
+# shifted copies laid out via pad (no .at[].add read-modify-write chain).
+def ola_pad_sum(f):
+    r = WIN // HOP
+    nt = f.shape[1]
+    parts = f.reshape(B, nt, r, HOP)
+    total = jnp.zeros((B, out_len), f.dtype)
+    for j in range(r):
+        stream = parts[:, :, j, :].reshape(B, nt * HOP)
+        stream = jnp.pad(stream, ((0, 0), (j * HOP, out_len - nt * HOP - j * HOP)))
+        total = total + stream
+    return total
+
+
+ref = np.asarray(jax.jit(lambda f: _overlap_add(f, HOP, out_len)[:1])(frames))
+got = np.asarray(jax.jit(lambda f: ola_pad_sum(f)[:1])(frames))
+print(f"ola pad-sum err: {np.abs(got - ref).max():.2e}", flush=True)
+print(f"ola pad-sum: {ms(ola_pad_sum, frames):.2f} ms", flush=True)
+
+print("DONE", flush=True)
