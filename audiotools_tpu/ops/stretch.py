@@ -63,24 +63,36 @@ def time_stretch(
     window_length: int = 2048,
     hop_length: int = None,
     method: str = "matmul",
+    synthesis_method: str = None,
 ) -> jnp.ndarray:
     """Stretch ``(..., T)`` audio in time by ``factor`` (sox ``tempo``
     semantics: factor > 1 is faster/shorter). Output length is
     ``round(T / factor)``.
 
-    ``method`` selects the STFT/ISTFT evaluation; the default MXU matmul
-    path is ~1.5x faster on TPU at ~1e-5 accuracy — far below the phase
-    vocoder's own approximation error.
+    ``method`` selects the *analysis* STFT evaluation; the default MXU
+    matmul path is ~1.5x faster on TPU at ~1e-5 accuracy — far below the
+    phase vocoder's own approximation error. Analysis precision matters:
+    phase errors random-walk through the vocoder's ~T/hop-frame cumsum,
+    so the analysis DFT must stay at >= 3-pass-bf16 accuracy (the bf16
+    analysis DFT was measured at 5.75e-02 output error, hw_pv_mm.py).
+
+    ``synthesis_method`` (default: same as ``method``) selects the
+    *inverse* evaluation independently. The synthesis side has no phase
+    accumulation — a single-pass bf16 iDFT only perturbs the output
+    waveform ~3e-3 (~0.026 dB), so ``"matmul_bf16"`` is a safe fast
+    option for augmentation pipelines.
     """
     if hop_length is None:
         hop_length = window_length // 4
+    if synthesis_method is None:
+        synthesis_method = method
     T = audio.shape[-1]
     out_len = int(round(T / factor))
     spec = _fft.stft(audio, window_length, hop_length, "hann", method=method)
     stretched = phase_vocoder(spec, factor, hop_length, window_length)
     return _fft.istft(
         stretched, window_length, hop_length, "hann", length=out_len,
-        method=method,
+        method=synthesis_method,
     )
 
 
@@ -91,6 +103,7 @@ def pitch_shift(
     window_length: int = 2048,
     hop_length: int = None,
     method: str = "matmul",
+    synthesis_method: str = None,
 ) -> jnp.ndarray:
     """Shift pitch by ``n_semitones`` keeping duration (sox ``pitch``
     semantics): a time stretch by ``2**(-n/12)`` composed with a resample
@@ -115,9 +128,13 @@ def pitch_shift(
         # Pitch up: resample shrinks by `rate`; vocoder runs on the
         # short signal (~11% fewer STFT samples at +2 semitones).
         shrunk = _resample.resample(audio, old_sr, new_sr)
-        out = time_stretch(shrunk, rate, window_length, hop_length, method)
+        out = time_stretch(
+            shrunk, rate, window_length, hop_length, method, synthesis_method
+        )
     else:
-        stretched = time_stretch(audio, rate, window_length, hop_length, method)
+        stretched = time_stretch(
+            audio, rate, window_length, hop_length, method, synthesis_method
+        )
         out = _resample.resample(stretched, old_sr, new_sr)
     if out.shape[-1] < T:
         out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, T - out.shape[-1])])

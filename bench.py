@@ -77,7 +77,12 @@ def main():
 
     def pipeline(sig, kw):
         out = ds.transform(sig, **kw)
-        audio = S.pitch_shift(out.audio_data, 2.0, SAMPLE_RATE)
+        # bf16 synthesis iDFT: no phase accumulation on the synthesis
+        # side, ~3e-3 waveform perturbation (~0.026 dB) — analysis stays
+        # at 3-pass precision (ops/stretch.py docstring, hw_pv_mm.py)
+        audio = S.pitch_shift(
+            out.audio_data, 2.0, SAMPLE_RATE, synthesis_method="matmul_bf16"
+        )
         # MXU DFT-matmul mel: hardware-validated at ~1e-5 rel accuracy,
         # ~1.5x faster than the VPU FFT path
         mel = F.mel_spectrogram(audio, SAMPLE_RATE, 80, method="matmul")

@@ -195,3 +195,20 @@ def test_preemphasis_attenuates_lows():
     sig = AudioSignal.wave(100, 1.0, 44100)
     out = sig.clone().preemphasis(0.99)
     assert np.abs(out.numpy()).max() < 0.5 * np.abs(sig.numpy()).max()
+
+
+def test_pitch_shift_bf16_synthesis_close():
+    """Single-pass-bf16 synthesis iDFT (synthesis_method="matmul_bf16")
+    must stay within bf16 rounding of the full-precision vocoder output;
+    the analysis side stays at 3-pass precision so no phase random-walk
+    (see ops/stretch.py docstring + hw_pv_mm.py)."""
+    from audiotools_tpu.ops import stretch as stretch_ops
+
+    sig = AudioSignal.wave(440, 1.0, 44100)
+    a = sig.audio_data
+    full = np.asarray(stretch_ops.pitch_shift(a, 2.0, 44100))
+    fast = np.asarray(
+        stretch_ops.pitch_shift(a, 2.0, 44100, synthesis_method="matmul_bf16")
+    )
+    rel = np.abs(fast - full).max() / np.abs(full).max()
+    assert rel < 2e-2, rel

@@ -74,3 +74,21 @@ with jax.default_matmul_precision("bfloat16"):
     t_amp = device_time(timed_step, audio, iters=5)
 print(f"train step bf16-matmul: {t_amp*1e3:.2f} ms ({B/t_amp:.0f} clips/s)", flush=True)
 print("DONE", flush=True)
+
+# true mixed-precision model: bf16 activations/conv compute, f32 master
+# params + VQ + loss (DAC(dtype=bf16), the Accelerator amp recipe)
+model_bf16 = DAC(dtype=jnp.bfloat16)
+step_bf16 = make_train_step(model_bf16, opt, SR)
+
+def timed_step_bf16(a):
+    p2, o2, m = step_bf16(params, opt_state, a)
+    return m["loss"], p2, o2
+
+t_amp2 = device_time(timed_step_bf16, audio, iters=5)
+print(f"train step dtype=bf16: {t_amp2*1e3:.2f} ms ({B/t_amp2:.0f} clips/s)", flush=True)
+
+t_fwd2 = device_time(
+    lambda a: codec_loss(model_bf16, params, a, SR)[0], audio, iters=5
+)
+print(f"fwd+loss dtype=bf16: {t_fwd2*1e3:.2f} ms", flush=True)
+print("DONE2", flush=True)
