@@ -128,6 +128,23 @@ class BaseModel(nn.Module):
         model.metadata = metadata
         return model, params
 
+    @staticmethod
+    def device(params):
+        """Device holding the first parameter leaf (reference
+        base.py:131-137). flax params live outside the module, so this
+        takes them explicitly; like the reference, the answer may not be
+        meaningful when parameters are sharded across devices.
+        """
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(params)
+        if not leaves:
+            return jax.devices()[0]
+        leaf = leaves[0]
+        if hasattr(leaf, "devices"):
+            return next(iter(leaf.devices()))
+        return jax.devices()[0]
+
     def save_to_folder(
         self,
         folder: typing.Union[str, Path],

@@ -305,3 +305,15 @@ def test_spectral_gate_denoises():
     # gating the noise signal against its own statistics nearly silences it
     nz_out = gate(nz.clone(), nz.clone(), denoise_amount=1.0)
     assert (np.asarray(nz_out.numpy()) ** 2).mean() < 0.01 * (nz.numpy() ** 2).mean()
+
+
+def test_basemodel_device():
+    """BaseModel.device(params) mirrors the reference's device property
+    (base.py:131-137) in functional form."""
+    import jax
+
+    model = TinyModel()
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4)))
+    dev = ml.BaseModel.device(params)
+    assert dev in jax.devices()
+    assert ml.BaseModel.device({}) in jax.devices()
