@@ -66,3 +66,9 @@ for dim, stride, T in dec:
     )
 
 print("DONE", flush=True)
+
+# RESULT (v5e, 2026-08-17): enc blocks 7.46 / 3.14 / 2.09 / 0.88 ms
+# (8.3 / 39.5 / 59.3 / 70.5 TFLOP/s); dec blocks 0.37 / 1.68 / 3.01 /
+# 6.00 ms. The two C=64 @ T=16896 stages dominate and run at 8-12
+# TFLOP/s — see hw_dac_resunit.py / hw_snake_enc.py for the diagnosis
+# (VPU-bound snakes + unfused pass count, not conv shape).

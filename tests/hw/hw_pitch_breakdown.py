@@ -36,6 +36,7 @@ def ms(fn, arg, iters=5):
     return device_time(fn, arg, iters=iters) * 1e3
 
 print(f"pitch_shift total: {ms(lambda a: S.pitch_shift(a, N_SEMI, SR), x):.2f} ms", flush=True)
+print(f"pitch_shift bf16-synth: {ms(lambda a: S.pitch_shift(a, 2.0, SR, synthesis_method='matmul_bf16'), x):.2f} ms", flush=True)
 print(f"time_stretch total: {ms(lambda a: S.time_stretch(a, rate), x):.2f} ms", flush=True)
 
 spec = F.stft(x, WIN, HOP, "hann", method="matmul")

@@ -41,3 +41,14 @@ enc_bf16 = Encoder(dtype=jnp.bfloat16)
 print(f"encoder dtype=bf16: {ms(lambda a: enc_bf16.apply(p, a), audio):.2f} ms", flush=True)
 
 print("DONE", flush=True)
+
+# RESULT (v5e, 2026-08-17): snake sin^2 f32 0.490 ms, bf16 0.525 (NOT
+# bandwidth-bound), cos form 0.619 (worse). encoder f32 13.12 ms vs
+# dtype=bf16 12.84 — no precision lever. Together with
+# hw_dac_resunit.py (every sub-op additive, nothing anomalous) the
+# C=64 stage is VPU-transcendental + per-op-overhead bound: ~7 snake
+# passes/block at ~0.5 ms each. A fused Pallas res-unit would cut only
+# the HBM passes (~1.5-2 ms/block fwd) while the sin cost stays — and
+# the backward needs custom kernels to avoid giving it back. Recorded
+# as the remaining (modest) lever; DAC train step stays at 68 ms
+# (234 clips/s, 90x realtime) this round.
