@@ -42,24 +42,27 @@ GAIN_FACTOR = np.log(10) / 20
 """Gain factor for converting between amplitude and decibels
 (reference effects.py:12)."""
 
-_METER_DEFAULTS = {"use_fir": False, "conv_method": "fft"}
+_METER_DEFAULTS = {"use_fir": False, "conv_method": "fft", "zeros": 512}
 
 
 def set_fast_meter(enable: bool = True):
     """Flip the process-wide default loudness meter implementation.
 
-    ``enable=True`` selects the 512-tap composed FIR evaluated by the
-    Pallas MXU kernel — v5e-measured 9.2 ms vs 17.6 ms for the exact
-    meter at batch-64 x 5 s, within 7e-5 LUFS (far inside the BS.1770
-    0.1 dB compliance tolerance) — for every ``loudness()`` call that
-    doesn't pass explicit options (mix/normalize/VolumeNorm all route
-    through it). First Pallas compile costs ~2 min on the tunneled TPU.
+    ``enable=True`` selects a 2048-tap composed FIR evaluated by the
+    Pallas MXU kernel — v5e-measured well under the exact meter's cost
+    (the meter is gating-bound, not FIR-length-bound) — for every
+    ``loudness()`` call that doesn't pass explicit options
+    (mix/normalize/VolumeNorm all route through it). 2048 taps keep the
+    truncation error under 1e-3 dB even on narrowband low-frequency
+    material (a 512-tap FIR is 0.2 dB off on a 100 Hz sine — see
+    tests/core/test_loudness_compliance.py); broadband error is ~7e-5.
+    First Pallas compile costs ~2 min on the tunneled TPU.
     """
     global _METER_DEFAULTS
     if enable:
-        _METER_DEFAULTS = {"use_fir": True, "conv_method": "pallas"}
+        _METER_DEFAULTS = {"use_fir": True, "conv_method": "pallas", "zeros": 2048}
     else:
-        _METER_DEFAULTS = {"use_fir": False, "conv_method": "fft"}
+        _METER_DEFAULTS = {"use_fir": False, "conv_method": "fft", "zeros": 512}
 
 MIN_LOUDNESS = -70.0
 """Minimum loudness (reference loudness.py:265)."""
@@ -331,7 +334,7 @@ def integrated_loudness(
     filter_class: str = "K-weighting",
     block_size: float = 0.400,
     use_fir: bool = None,
-    zeros: int = 512,
+    zeros: int = None,
     conv_method: str = None,
 ) -> jnp.ndarray:
     """Integrated gated loudness (LUFS) of ``(nb, nt, nch)`` audio.
@@ -347,6 +350,8 @@ def integrated_loudness(
         use_fir = _METER_DEFAULTS["use_fir"]
     if conv_method is None:
         conv_method = _METER_DEFAULTS["conv_method"]
+    if zeros is None:
+        zeros = _METER_DEFAULTS["zeros"]
     data = data.astype(jnp.float32)
     nb, nt, nch = data.shape
 
