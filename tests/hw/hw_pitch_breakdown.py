@@ -63,3 +63,9 @@ print(f"resample {old_sr}->{new_sr} on {out_len}: "
       f"{ms(lambda a: R.resample(a, old_sr, new_sr), y):.2f} ms", flush=True)
 
 print("DONE", flush=True)
+
+# NOTE (v5e, 2026-08-17): the bf16-synth line printed 6.74 ms at iters=5
+# — a two-point-calibration artifact; a dedicated run at iters=10 with a
+# correctness check gives 20.57 ms vs 23.84 full (consistent with the
+# ~3 ms iDFT saving) and max abs diff 7.8e-04 on 0.39 scale. Prefer
+# iters>=10 for sub-25 ms composites on the tunneled chip.
