@@ -140,13 +140,16 @@ def test_fast_meter_matches_on_compliance_sines():
     production fast meter (set_fast_meter) therefore runs 2048 taps,
     which is <1e-3 dB everywhere measured (the Pallas meter is
     gating-bound, so the longer FIR is ~free)."""
-    for freq in (100.0, 1000.0, 10000.0):
+    for freq in (25.0, 100.0, 1000.0, 10000.0):
         x = _sine(freq, -24.0, 2, 5.0, SR)
         exact = float(np.asarray(L.loudness(x, SR, use_fir=False))[0])
         fir_2048 = float(
             np.asarray(L.loudness(x, SR, use_fir=True, zeros=2048))[0]
         )
+        # 25 Hz is the hardest case: 0.63 dB off at 512 taps, 0.008 at 2048
         assert abs(exact - fir_2048) < 1e-2, (freq, exact, fir_2048)
+        if freq < 100:
+            continue
 
         fir_512 = float(
             np.asarray(L.loudness(x, SR, use_fir=True, zeros=512))[0]
