@@ -3,6 +3,8 @@ tests/data/test_datasets.py)."""
 import numpy as np
 import pytest
 
+import audiotools_tpu.core.util
+
 from audiotools_tpu import AudioSignal
 from audiotools_tpu.data import transforms as tfm
 from audiotools_tpu.data.datasets import (
@@ -300,3 +302,20 @@ def test_torch_dataloader_compat(audio_dir):
     )
     batch = next(iter(dl))
     assert batch["signal"].batch_size == 2
+
+
+def test_loader_out_of_range_resolves_to_silence(audio_dir):
+    """Reference test_loader_out_of_range (tests/data/test_datasets.py:
+    149-169): explicit (source_idx, item_idx) beyond the list must yield
+    the silent 'none' item, not raise — a short stem list in aligned
+    multitrack mode just contributes an empty track."""
+    loader = AudioLoader(sources=[str(audio_dir / "spk.csv")])
+    item = loader(
+        audiotools_tpu.core.util.random_state(0),
+        44100,
+        duration=0.25,
+        source_idx=0,
+        item_idx=10_000,
+    )
+    assert item["path"] == "none"
+    assert np.allclose(item["signal"].numpy(), 0.0)

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 import audiotools_tpu
+import audiotools_tpu.core.util
 from audiotools_tpu import AudioSignal
 from audiotools_tpu.data import transforms as tfm
 from tests.fixtures import speech_like
@@ -262,3 +263,28 @@ def test_transform_chain_jits(audio_dir):
     out1 = apply(batch, kwargs)
     out0 = transform(batch.clone(), **kwargs)
     assert np.allclose(out1.numpy(), out0.numpy(), atol=1e-4)
+
+
+def test_smoothing_all_zero_signal_stays_zero():
+    """Reference test_smoothing_edge_case (tests/data/test_transforms.py:
+    407-414): smoothing a silent signal must not produce NaNs from the
+    max-normalization (our _transform guards both scales)."""
+    transform = tfm.Smoothing()
+    zeros = AudioSignal(np.zeros((1, 1, 44100), np.float32), 44100)
+    kwargs = transform.instantiate(audiotools_tpu.core.util.random_state(0), zeros)
+    out = transform(zeros.clone(), **kwargs)
+    assert np.allclose(out.numpy(), 0.0)
+    assert np.isfinite(out.numpy()).all()
+
+
+def test_compose_with_duplicate_transforms():
+    """Reference test (tests/data/test_transforms.py:127-140): Compose
+    must disambiguate same-class children (index-prefixed names) and
+    apply every copy."""
+    dbs = [-6.0, -6.0, -6.0]
+    transform = tfm.Compose(*[tfm.VolumeChange(("const", db)) for db in dbs])
+    signal = _signal()
+    kwargs = transform.instantiate(audiotools_tpu.core.util.random_state(SEED), signal)
+    out = transform(signal.clone(), **kwargs)
+    total_gain = 10 ** (sum(dbs) / 20.0)
+    assert np.allclose(out.numpy(), signal.numpy() * total_gain, atol=1e-5)
