@@ -45,22 +45,27 @@ GAIN_FACTOR = np.log(10) / 20
 _METER_DEFAULTS = {"use_fir": False, "conv_method": "fft", "zeros": 512}
 
 
-def set_fast_meter(enable: bool = True):
+def set_fast_meter(enable: bool = True, zeros: int = 512):
     """Flip the process-wide default loudness meter implementation.
 
-    ``enable=True`` selects a 2048-tap composed FIR evaluated by the
-    Pallas MXU kernel — v5e-measured well under the exact meter's cost
-    (the meter is gating-bound, not FIR-length-bound) — for every
-    ``loudness()`` call that doesn't pass explicit options
-    (mix/normalize/VolumeNorm all route through it). 2048 taps keep the
-    truncation error under 1e-3 dB even on narrowband low-frequency
-    material (a 512-tap FIR is 0.2 dB off on a 100 Hz sine — see
-    tests/core/test_loudness_compliance.py); broadband error is ~7e-5.
+    ``enable=True`` selects a ``zeros``-tap composed FIR evaluated by the
+    Pallas MXU kernel for every ``loudness()`` call that doesn't pass
+    explicit options (mix/normalize/VolumeNorm all route through it).
     First Pallas compile costs ~2 min on the tunneled TPU.
+
+    The default 512 taps match the reference's own GPU meter (a 512-tap
+    truncated FIR, reference loudness.py:54-100) and its accuracy
+    envelope: ~7e-5 dB on broadband programme material, but up to
+    0.63 dB on a pure 25 Hz sine (the high-pass stage's truncated tail —
+    see tests/core/test_loudness_compliance.py). v5e batch-64 x 5 s
+    meter: 2.6 ms at 512 taps, ~5.5 ms at 2048. Pass ``zeros=2048`` for
+    compliance-grade accuracy on narrowband low-frequency content, or
+    use the default exact meter (``enable=False``), which is compliant
+    everywhere.
     """
     global _METER_DEFAULTS
     if enable:
-        _METER_DEFAULTS = {"use_fir": True, "conv_method": "pallas", "zeros": 2048}
+        _METER_DEFAULTS = {"use_fir": True, "conv_method": "pallas", "zeros": zeros}
     else:
         _METER_DEFAULTS = {"use_fir": False, "conv_method": "fft", "zeros": 512}
 

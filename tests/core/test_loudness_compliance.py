@@ -136,10 +136,13 @@ def test_fast_meter_matches_on_compliance_sines():
     broadband fixtures, test_loudness.py:236-263).
 
     512 taps truncate the high-pass stage's tail: fine broadband and
-    above ~500 Hz, but 0.195 dB off on a pure 100 Hz sine. The
-    production fast meter (set_fast_meter) therefore runs 2048 taps,
-    which is <1e-3 dB everywhere measured (the Pallas meter is
-    gating-bound, so the longer FIR is ~free)."""
+    above ~500 Hz, but 0.195 dB off on a pure 100 Hz sine (0.63 at
+    25 Hz). This mirrors the reference's own GPU meter, which is the
+    same 512-tap truncation (reference loudness.py:54-100) — so the
+    default fast meter keeps 512 for parity and speed, while
+    ``set_fast_meter(zeros=2048)`` (<1e-2 dB everywhere measured, at
+    ~2x meter cost) covers narrowband low-frequency material. The
+    default exact meter is compliant everywhere."""
     for freq in (25.0, 100.0, 1000.0, 10000.0):
         x = _sine(freq, -24.0, 2, 5.0, SR)
         exact = float(np.asarray(L.loudness(x, SR, use_fir=False))[0])
