@@ -169,3 +169,55 @@ def numpy_gated_lufs(weighted: np.ndarray, rate: int) -> float:
     gamma_r = lk(abs_gated.mean(axis=0)) - 10.0
     both = powers[(block_loudness > -70.0) & (block_loudness > gamma_r)]
     return float(lk(both.mean(axis=0)))
+
+
+def numpy_phase_vocoder(spec: np.ndarray, rate: float, hop: int, win: int) -> np.ndarray:
+    """Flanagan/Laroche phase vocoder, naive float64 per-step loop.
+
+    Same algorithm contract as ``audiotools_tpu.ops.stretch.phase_vocoder``
+    (magnitude lerp onto the step grid; per-step principal-value phase
+    deviation integrated from frame 0's phase) but implemented as an
+    explicit python loop over complex128 — no shared code path.
+    """
+    F_b, T = spec.shape
+    n_steps = int(np.ceil(T / rate))
+    phi_adv = 2.0 * np.pi * hop * np.arange(F_b) / win
+    out = np.zeros((F_b, n_steps), np.complex128)
+    phase_acc = np.angle(spec[:, 0]).astype(np.float64)
+    for s in range(n_steps):
+        pos = s * rate
+        i0 = min(int(np.floor(pos)), T - 1)
+        i1 = min(i0 + 1, T - 1)
+        frac = pos - i0
+        mag = (1.0 - frac) * np.abs(spec[:, i0]) + frac * np.abs(spec[:, i1])
+        out[:, s] = mag * np.exp(1j * phase_acc)
+        dph = np.angle(spec[:, i1]) - np.angle(spec[:, i0]) - phi_adv
+        dph -= 2.0 * np.pi * np.round(dph / (2.0 * np.pi))
+        phase_acc = phase_acc + phi_adv + dph
+    return out
+
+
+def torch_time_stretch(
+    x: torch.Tensor, factor: float, win: int, hop: int
+) -> torch.Tensor:
+    """Oracle time stretch: float64 torch.stft (center, reflect, hann) ->
+    numpy_phase_vocoder -> torch.istft, out length ``round(T / factor)``."""
+    x = x.double()
+    T = x.shape[-1]
+    out_len = int(round(T / factor))
+    window = torch.hann_window(win, dtype=torch.float64)
+    spec = torch.stft(
+        x.reshape(-1, T), n_fft=win, hop_length=hop, window=window,
+        center=True, pad_mode="reflect", return_complex=True,
+    )
+    stretched = torch.stack([
+        torch.from_numpy(
+            numpy_phase_vocoder(s.numpy(), factor, hop, win)
+        )
+        for s in spec
+    ])
+    y = torch.istft(
+        stretched, n_fft=win, hop_length=hop, window=window,
+        center=True, length=out_len,
+    )
+    return y.reshape(x.shape[:-1] + (out_len,))
