@@ -264,3 +264,66 @@ def test_time_stretch_matches_naive_vocoder(factor):
     # (was 1e-3 before the principal-value accumulation fix in
     # ops/stretch.py; the fix is what this test pins).
     assert err < 3e-4, (factor, err)
+
+
+@pytest.mark.parametrize(
+    "L,K",
+    [
+        (15000, 3000),   # compact-IR aliasing-corrected branch (0 < m <= n/4)
+        (10000, 2000),   # linear conv fits in pow2-n (m <= 0)
+        (9000, 9000),    # K == L general branch
+    ],
+)
+def test_convolve_matches_float64_circular(L, K):
+    """convolve() (all three pow2/fold-back branches) vs a direct float64
+    length-L circular convolution with the reference's peak
+    renormalization (reference effects.py:66-123). The branch is selected
+    by m = L + K - 1 - next_pow2(L); the parametrization covers each."""
+    from audiotools_tpu import AudioSignal
+
+    rng = np.random.RandomState(7)
+    x = (rng.randn(1, 1, L) * 0.1).astype(np.float32)
+    ir = (rng.randn(1, 1, K) * np.exp(-np.linspace(0, 6, K))).astype(np.float32)
+
+    sig = AudioSignal(x, 44100)
+    out = np.asarray(
+        sig.clone().convolve(AudioSignal(ir, 44100), start_at_max=False).audio_data
+    )
+
+    xf = np.fft.fft(x[0, 0].astype(np.float64), n=L)
+    hf = np.fft.fft(ir[0, 0].astype(np.float64), n=L)
+    want = np.real(np.fft.ifft(xf * hf))
+    want = want / max(np.abs(ir[0, 0]).max(), 1e-5)
+
+    err = np.abs(out[0, 0] - want).max() / np.abs(want).max()
+    assert err < 1e-4, (L, K, err)
+
+
+def test_convolve_start_at_max_matches_rolled_oracle():
+    """start_at_max rolls the IR peak to t=0; ours realizes it as an
+    output roll (circular-shift commutation) — pin against the oracle
+    that rolls the IR itself."""
+    from audiotools_tpu import AudioSignal
+
+    rng = np.random.RandomState(8)
+    L, K, delay = 15000, 3000, 700
+    x = (rng.randn(1, 1, L) * 0.1).astype(np.float32)
+    ir = np.zeros((1, 1, K), np.float32)
+    ir[0, 0, delay:] = (
+        0.3 * rng.randn(K - delay) * np.exp(-np.linspace(0, 6, K - delay))
+    ).astype(np.float32)
+    ir[0, 0, delay] = 2.0  # unambiguous peak
+
+    sig = AudioSignal(x, 44100)
+    out = np.asarray(
+        sig.clone().convolve(AudioSignal(ir, 44100), start_at_max=True).audio_data
+    )
+
+    rolled = np.roll(ir[0, 0].astype(np.float64), -delay)
+    xf = np.fft.fft(x[0, 0].astype(np.float64), n=L)
+    hf = np.fft.fft(rolled, n=L)
+    want = np.real(np.fft.ifft(xf * hf))
+    want = want / max(np.abs(ir[0, 0]).max(), 1e-5)
+
+    err = np.abs(out[0, 0] - want).max() / np.abs(want).max()
+    assert err < 1e-4, err
