@@ -168,15 +168,21 @@ class VectorQuantize(nn.Module):
     codebook_size: int = 1024
     codebook_dim: int = 8
 
-    @nn.compact
-    def __call__(self, z):
-        # z: (B, T, D)
-        z_e = nn.Dense(self.codebook_dim, name="in_proj")(z)
-        codebook = self.param(
+    def setup(self):
+        # attribute names become the flax scopes, matching the previous
+        # nn.compact name= declarations exactly (checkpoints unchanged)
+        self.in_proj = nn.Dense(self.codebook_dim)
+        self.out_proj = nn.Dense(self.input_dim)
+        self.codebook_embed = self.param(
             "codebook",
             nn.initializers.normal(1.0),
             (self.codebook_size, self.codebook_dim),
         )
+
+    def __call__(self, z):
+        # z: (B, T, D)
+        z_e = self.in_proj(z)
+        codebook = self.codebook_embed
 
         # L2-normalized code lookup
         z_n = z_e / (jnp.linalg.norm(z_e, axis=-1, keepdims=True) + 1e-8)
@@ -195,8 +201,14 @@ class VectorQuantize(nn.Module):
 
         # straight-through
         z_q = z_e + jax.lax.stop_gradient(z_q - z_e)
-        z_q = nn.Dense(self.input_dim, name="out_proj")(z_q)
+        z_q = self.out_proj(z_q)
         return z_q, indices, commitment_loss, codebook_loss
+
+    def from_code(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """Stage codes ``(B, T)`` -> this stage's latent contribution
+        ``(B, T, input_dim)`` (codebook lookup + output projection)."""
+        z_q = jnp.take(self.codebook_embed, indices, axis=0)
+        return self.out_proj(z_q)
 
 
 class ResidualVectorQuantize(nn.Module):
@@ -207,7 +219,21 @@ class ResidualVectorQuantize(nn.Module):
     codebook_size: int = 1024
     codebook_dim: int = 8
 
-    @nn.compact
+    def setup(self):
+        # setattr so each stage's scope is "quantizer_{i}", matching the
+        # previous nn.compact name= declarations (checkpoints unchanged)
+        for i in range(self.n_codebooks):
+            setattr(
+                self,
+                f"quantizer_{i}",
+                VectorQuantize(
+                    self.input_dim, self.codebook_size, self.codebook_dim
+                ),
+            )
+
+    def _stage(self, i) -> VectorQuantize:
+        return getattr(self, f"quantizer_{i}")
+
     def __call__(self, z, n_quantizers: int = None):
         if n_quantizers is None:
             n_quantizers = self.n_codebooks
@@ -219,10 +245,7 @@ class ResidualVectorQuantize(nn.Module):
         for i in range(self.n_codebooks):
             if i >= n_quantizers:
                 break
-            z_q_i, idx, commit, cb = VectorQuantize(
-                self.input_dim, self.codebook_size, self.codebook_dim,
-                name=f"quantizer_{i}",
-            )(residual)
+            z_q_i, idx, commit, cb = self._stage(i)(residual)
             z_q = z_q + z_q_i
             residual = residual - z_q_i
             commitment_loss += commit
@@ -230,6 +253,18 @@ class ResidualVectorQuantize(nn.Module):
             codes.append(idx)
         codes = jnp.stack(codes, axis=1)  # (B, n_q, T)
         return z_q, codes, commitment_loss, codebook_loss
+
+    def from_codes(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """Codes ``(B, n_q, T)`` -> quantized latents ``(B, T, D)``.
+
+        ``n_q`` may be any prefix of the codebook cascade (bitrate
+        scalability: decoding fewer stages gives a coarser
+        reconstruction)."""
+        n_q = codes.shape[1]
+        z_q = 0.0
+        for i in range(min(n_q, self.n_codebooks)):
+            z_q = z_q + self._stage(i).from_code(codes[:, i])
+        return z_q
 
 
 class DAC(BaseModel):
@@ -315,3 +350,15 @@ class DAC(BaseModel):
     def decode_from_latents(self, z_q: jnp.ndarray):
         recon = self.decoder(z_q)
         return jnp.swapaxes(recon, 1, 2)
+
+    def decode_from_codes(self, codes: jnp.ndarray):
+        """Stored integer codes ``(B, n_q, T_codes)`` -> waveform
+        ``(B, 1, T)`` — the codec *decompress* path (codes are what a
+        user persists; latents are an intermediate). ``n_q`` may be any
+        prefix of the cascade for bitrate-scalable decoding.
+
+        >>> z, codes = model.apply(params, audio, method=DAC.encode)
+        >>> audio2 = model.apply(params, codes, method=DAC.decode_from_codes)
+        """
+        z_q = self.quantizer.from_codes(codes)
+        return self.decode_from_latents(z_q)

@@ -166,3 +166,29 @@ def test_bf16_compute_dtype():
     )
     g = jax.grad(lambda p: (mbf.apply(p, x)["audio"] ** 2).mean())(params)
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_decode_from_codes_roundtrip(tiny_model, tiny_params):
+    """The codec decompress path: stored integer codes -> waveform must
+    match the latents path (codes are what a user persists), and a
+    codebook-prefix decode must work (bitrate scalability)."""
+    model, params = tiny_model, tiny_params
+    audio = jnp.asarray(
+        (np.random.RandomState(3).randn(2, 1, 2048) * 0.1).astype(np.float32)
+    )
+    z, codes = model.apply(params, audio, method=DAC.encode)
+    assert codes.dtype in (jnp.int32, jnp.int64)
+
+    wav_latents = model.apply(params, z, method=DAC.decode_from_latents)
+    wav_codes = model.apply(params, codes, method=DAC.decode_from_codes)
+    assert wav_codes.shape == wav_latents.shape
+    assert float(jnp.max(jnp.abs(wav_codes - wav_latents))) < 1e-5
+
+    # consistent with the full forward's reconstruction (mod length trim)
+    out = model.apply(params, audio)
+    T = out["audio"].shape[-1]
+    assert float(jnp.max(jnp.abs(wav_codes[..., :T] - out["audio"]))) < 1e-5
+
+    # decoding a prefix of the cascade still produces audio
+    wav_prefix = model.apply(params, codes[:, :1], method=DAC.decode_from_codes)
+    assert wav_prefix.shape == wav_codes.shape
