@@ -1,3 +1,5 @@
+from . import artifacts
 from . import dac
 from . import train
+from .artifacts import compress, decompress, load_artifact, save_artifact
 from .dac import DAC

@@ -342,9 +342,10 @@ class DAC(BaseModel):
             "vq/codebook_loss": codebook_loss,
         }
 
-    def encode(self, audio: jnp.ndarray):
-        """Waveform -> quantized latents + codes."""
-        out = self(audio)
+    def encode(self, audio: jnp.ndarray, n_quantizers: int = None):
+        """Waveform -> quantized latents + codes (optionally truncating
+        the codebook cascade to ``n_quantizers`` stages)."""
+        out = self(audio, n_quantizers)
         return out["z"], out["codes"]
 
     def decode_from_latents(self, z_q: jnp.ndarray):

@@ -6,6 +6,7 @@ import numpy as np
 import optax
 import pytest
 
+from audiotools_tpu import AudioSignal
 from audiotools_tpu.models import DAC
 from audiotools_tpu.models.train import codec_loss, make_train_step, shard_params
 
@@ -192,3 +193,44 @@ def test_decode_from_codes_roundtrip(tiny_model, tiny_params):
     # decoding a prefix of the cascade still produces audio
     wav_prefix = model.apply(params, codes[:, :1], method=DAC.decode_from_codes)
     assert wav_prefix.shape == wav_codes.shape
+
+
+def test_compress_decompress_artifact(tmp_path, tiny_model, tiny_params):
+    """User-facing codec workflow: AudioSignal -> uint16-code artifact on
+    disk -> AudioSignal, including cascade truncation and the
+    sample-rate mismatch guard."""
+    from audiotools_tpu.models import (
+        compress,
+        decompress,
+        load_artifact,
+        save_artifact,
+    )
+
+    model, params = tiny_model, tiny_params
+    sig = AudioSignal(
+        (np.random.RandomState(5).randn(1, 1, 3200) * 0.1).astype(np.float32),
+        model.sample_rate,
+    )
+    art = compress(model, params, sig)
+    assert art["codes"].dtype == np.uint16
+    assert art["n_samples"] == 3200
+
+    path = str(tmp_path / "clip.dacz.npz")
+    save_artifact(path, art)
+    loaded = load_artifact(path)
+    recon = decompress(model, params, loaded)
+    assert recon.signal_length == 3200
+    assert recon.sample_rate == model.sample_rate
+
+    direct = decompress(model, params, art)
+    assert np.allclose(recon.numpy(), direct.numpy())
+
+    art1 = compress(model, params, sig, n_quantizers=1)
+    assert art1["codes"].shape[1] == 1
+    recon1 = decompress(model, params, art1)
+    assert recon1.signal_length == 3200
+
+    bad = dict(art)
+    bad["sample_rate"] = 8000
+    with pytest.raises(ValueError):
+        decompress(model, params, bad)
