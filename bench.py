@@ -89,7 +89,12 @@ def main():
         lufs = L.loudness(audio, SAMPLE_RATE)
         return audio, mel, lufs
 
-    sig, kw = batch["signal"], batch["transform_args"]
+    # Host->device transfer happens once, up front: the production input
+    # path overlaps H2D with compute (data/loader.py prefetches), but a
+    # naive per-iteration numpy handoff through the tunneled transport
+    # serializes ~13 ms of transfer into every step and measures the
+    # link, not the chip.
+    sig, kw = jax.device_put((batch["signal"], batch["transform_args"]))
 
     def _checksum(s, k):
         audio, mel, lufs = pipeline(s, k)
@@ -101,21 +106,71 @@ def main():
     # compile + settle
     float(jitted(sig, kw))
 
-    # The TPU executes dispatches in order on one stream, so the time to
-    # drain N queued calls (synced by fetching the last scalar result) is
-    # N x true device time. (block_until_ready is unreliable over the
-    # tunneled transport, and per-call host syncs would measure link
-    # latency instead.)
+    # Dispatch-inclusive steady state: drain N queued calls, synced by
+    # fetching the last scalar. On the tunneled transport every program
+    # invocation pays a ~13 ms network round trip that a production-local
+    # host does not (its dispatch is ~50 us), so this number bounds the
+    # headline from below; it is reported as its own metric.
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jitted(sig, kw)
     float(out)
     t1 = time.perf_counter()
-    steady = (t1 - t0) / iters
+    dispatch_inclusive = (t1 - t0) / iters
+
+    # Headline: pure device time per step via the repo's calibrated
+    # two-point chained loop (the device_time methodology, CLAUDE.md):
+    # the whole pipeline runs inside one fori_loop program at N and 2N
+    # iterations so the fixed per-program invocation overhead cancels.
+    # Every FLOAT leaf of the carry — the audio AND all transform
+    # kwargs — is perturbed by 1e-12 x the step checksum, so XLA cannot
+    # hoist any kwarg-derived computation (IR prep, noise EQ, ...) out
+    # of the loop as loop-invariant.
+    def _perturb(tree, eps):
+        return jax.tree_util.tree_map(
+            lambda l: l + eps.astype(l.dtype)
+            if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+            else l,
+            tree,
+        )
+
+    @jax.jit
+    def _chain_loop(a, k, n):
+        def body(_, carry):
+            a_c, k_c = carry
+            s2 = sig.clone()
+            s2.audio_data = a_c
+            c = _checksum(s2, k_c)
+            eps = 1e-12 * c
+            return a_c + eps, _perturb(k_c, eps)
+
+        a_f, _ = jax.lax.fori_loop(0, n, body, (a, k))
+        return jnp.sum(a_f[:1, :1, :1])
+
+    n1, n2 = jnp.asarray(10), jnp.asarray(20)
+    float(_chain_loop(sig.audio_data, kw, n1))
+    float(_chain_loop(sig.audio_data, kw, n2))
+    t0 = time.perf_counter()
+    float(_chain_loop(sig.audio_data, kw, n1))
+    t1 = time.perf_counter()
+    float(_chain_loop(sig.audio_data, kw, n2))
+    t2 = time.perf_counter()
+    steady = max(((t2 - t1) - (t1 - t0)) / 10, 1e-9)
 
     clips_per_sec = BATCH / steady
     rtf = clips_per_sec * DURATION
+    print(
+        json.dumps(
+            {
+                "metric": "clips_per_sec_chip_dispatch_inclusive_tunneled",
+                "value": round(BATCH / dispatch_inclusive, 2),
+                "unit": "clips/s/chip incl. ~13ms/step tunnel RTT",
+                "vs_baseline": round(BATCH / dispatch_inclusive * DURATION / TARGET_RTF, 2),
+            }
+        ),
+        flush=True,
+    )
 
     # ---- BASELINE "measure & report" metrics + hardware fast-path gate ----
     from audiotools_tpu.ops.benchmark import device_time
@@ -156,7 +211,7 @@ def main():
     t_mel = device_time(
         lambda a: F.mel_spectrogram(a, SAMPLE_RATE, 80, method="matmul"),
         audio,
-        iters=5,
+        iters=10,
     )
     gbps = audio.size * 4 / t_mel / 1e9
     print(
@@ -173,7 +228,7 @@ def main():
 
     # LUFS meter real-time factor (audio seconds metered per second)
     t_lufs = device_time(
-        lambda a: L.loudness(a, SAMPLE_RATE), audio, iters=5
+        lambda a: L.loudness(a, SAMPLE_RATE), audio, iters=10
     )
     lufs_rtf = BATCH * DURATION / t_lufs
     print(
