@@ -98,3 +98,10 @@ for name, tf in [
     print(f"  {name}: {ms(apply2, s2.audio_data):.2f} ms", flush=True)
 
 print("DONE", flush=True)
+
+# RESULT (v5e, 2026-08-17, fast meter + bf16 synthesis): FULL one-jit
+# pipeline 60.57 ms; stages: compose 30.39 (RIR 17.23, BGNoise 4.59,
+# EQ 1.41, VolumeNorm 2.86), pitch 20.55, mel 8.13, lufs 2.88 — stage
+# sum ~= whole (no composition overhead). The bench's earlier 73.3 ms
+# per step was the ~13 ms/dispatch tunnel RTT, now cancelled by the
+# chained-loop headline (bench.py).
