@@ -105,10 +105,21 @@ class BaseTransform:
 
     def transform(self, signal: AudioSignal, **kwargs):
         """Apply the transform where the mask is true
-        (reference transforms.py:133-166; compute-all + select here)."""
+        (reference transforms.py:133-166; compute-all + select here).
+
+        ``prob == 1.0`` is a *static* Python attribute and its Bernoulli
+        draw (``state.rand() <= 1.0``) is true by construction, so the
+        clone + ``where``-select (a full-signal copy each) is skipped
+        entirely for always-on transforms — the common case in
+        augmentation chains. ``Choose`` rewrites child masks after
+        instantiation, so it opts back in via ``_force_masked``.
+        """
         tfm_kwargs = self._prepare(kwargs)
         mask = tfm_kwargs["mask"]
         tfm_kwargs = {k: v for k, v in tfm_kwargs.items() if k != "mask"}
+
+        if self.prob >= 1.0 and not getattr(self, "_force_masked", False):
+            return self._transform(signal, **tfm_kwargs)
 
         original = signal.clone()
         transformed = self._transform(signal, **tfm_kwargs)
@@ -236,6 +247,12 @@ class Choose(Compose):
         prob: float = 1.0,
     ):
         super().__init__(*transforms, name=name, prob=prob)
+
+        # _instantiate rewrites child masks into a one-hot selection, so
+        # a prob=1.0 child must still honor its (rewritten) mask rather
+        # than taking BaseTransform.transform's always-on shortcut.
+        for tfm in self.transforms:
+            tfm._force_masked = True
 
         if weights is None:
             _len = len(self.transforms)

@@ -288,3 +288,45 @@ def test_compose_with_duplicate_transforms():
     out = transform(signal.clone(), **kwargs)
     total_gain = 10 ** (sum(dbs) / 20.0)
     assert np.allclose(out.numpy(), signal.numpy() * total_gain, atol=1e-5)
+
+
+def test_prob_one_shortcut_matches_masked_path():
+    """The always-on (prob=1.0) shortcut must be output-identical to the
+    generic where-merge path: where(True, transformed, original) ==
+    transformed bitwise."""
+    transform = tfm.VolumeChange(("const", -7.0))
+    signal = _signal()
+    kwargs = transform.instantiate(
+        audiotools_tpu.core.util.random_state(SEED), signal
+    )
+    fast = transform(signal.clone(), **kwargs)
+
+    transform._force_masked = True
+    slow = transform(signal.clone(), **kwargs)
+    del transform._force_masked
+    assert np.array_equal(fast.numpy(), slow.numpy())
+
+
+def test_choose_children_honor_rewritten_masks():
+    """A prob=1.0 child inside Choose must still respect the one-hot
+    mask rewrite — exactly one child may alter the signal."""
+    transform = tfm.Choose(
+        tfm.VolumeChange(("const", -20.0)),
+        tfm.VolumeChange(("const", +6.0)),
+    )
+    signal = _signal()
+    gains = set()
+    for seed in range(8):
+        kwargs = transform.instantiate(
+            audiotools_tpu.core.util.random_state(seed), signal
+        )
+        out = transform(signal.clone(), **kwargs)
+        ratio = float(
+            np.abs(out.numpy()).max() / np.abs(signal.numpy()).max()
+        )
+        gains.add(round(ratio, 3))
+    # only the two single-child gains may ever appear — never their
+    # product (which is what running both children would produce)
+    expected = {round(10 ** (-20 / 20), 3), round(10 ** (6 / 20), 3)}
+    assert gains <= expected, gains
+    assert len(gains) == 2, gains
