@@ -183,7 +183,11 @@ class EffectMixin:
         # Save the peak before
         max_spk = jnp.max(jnp.abs(self.audio_data), axis=-1, keepdims=True)
 
-        phase = self.phase
+        # The reference computes the phase unconditionally (effects.py:158)
+        # but only consumes it under use_original_phase; XLA dead-code
+        # eliminates it inside jit, but eager callers would pay a full
+        # STFT — compute it only when used.
+        phase = self.phase if use_original_phase else None
         self.convolve(ir)
 
         if use_original_phase:
