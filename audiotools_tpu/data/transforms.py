@@ -50,6 +50,20 @@ def tt(x):
     return jnp.asarray(x)
 
 
+def _mask_statically_true(mask) -> bool:
+    """True when the mask is either invisible to inspection (a traced
+    value inside ``jit`` — trusted to match its prob=1.0 construction)
+    or a concrete value that is verifiably all-true."""
+    import jax
+
+    if isinstance(mask, jax.core.Tracer):
+        return True
+    try:
+        return bool(np.all(np.asarray(mask)))
+    except Exception:
+        return False
+
+
 class BaseTransform:
     """Base class for all transforms (reference transforms.py:21-265).
 
@@ -111,14 +125,23 @@ class BaseTransform:
         draw (``state.rand() <= 1.0``) is true by construction, so the
         clone + ``where``-select (a full-signal copy each) is skipped
         entirely for always-on transforms — the common case in
-        augmentation chains. ``Choose`` rewrites child masks after
-        instantiation, so it opts back in via ``_force_masked``.
+        augmentation chains. The shortcut defers to the mask actually
+        passed in whenever it can be inspected: a *concrete* mask that
+        is not all-true (e.g. hand-edited after ``instantiate`` to
+        disable augmentation for some items) takes the masked path; only
+        a traced mask — invisible inside ``jit`` — is trusted to match
+        its ``prob=1.0`` construction. ``Choose`` rewrites child masks
+        after instantiation, so it opts back in via ``_force_masked``.
         """
         tfm_kwargs = self._prepare(kwargs)
         mask = tfm_kwargs["mask"]
         tfm_kwargs = {k: v for k, v in tfm_kwargs.items() if k != "mask"}
 
-        if self.prob >= 1.0 and not getattr(self, "_force_masked", False):
+        if (
+            self.prob >= 1.0
+            and not getattr(self, "_force_masked", False)
+            and _mask_statically_true(mask)
+        ):
             return self._transform(signal, **tfm_kwargs)
 
         original = signal.clone()

@@ -35,13 +35,18 @@ def compress(model, params, signal, n_quantizers: int = None) -> dict:
     else:
         audio = jnp.asarray(signal)
 
+    if model.codebook_size > 65536:
+        raise ValueError(
+            f"codebook_size {model.codebook_size} does not fit in the "
+            "uint16 artifact format"
+        )
     n_samples = int(audio.shape[-1])
+    # DAC.encode runs encoder + quantizer only (no decoder) — important
+    # eagerly, where the unused reconstruction could not be dead-code
+    # eliminated and the decoder dominates the codec's cost.
     _, codes = model.apply(
         params, audio, n_quantizers, method=type(model).encode
     )
-    if n_quantizers is not None:
-        codes = codes[:, :n_quantizers]
-    assert model.codebook_size <= 65536, "codes do not fit in uint16"
     return {
         "codes": np.asarray(codes).astype(np.uint16),
         "sample_rate": int(model.sample_rate),
@@ -58,6 +63,22 @@ def decompress(model, params, artifact: dict) -> AudioSignal:
         raise ValueError(
             f"artifact was produced at {artifact['sample_rate']} Hz, "
             f"model runs at {model.sample_rate} Hz"
+        )
+    # Model-mismatch guards: jnp.take CLAMPS out-of-range code indices
+    # instead of erroring, and from_codes drops extra cascade stages —
+    # both would decode a mismatched artifact to silently wrong audio.
+    if int(artifact.get("codebook_size", model.codebook_size)) != int(
+        model.codebook_size
+    ):
+        raise ValueError(
+            f"artifact codebook_size {artifact['codebook_size']} != model "
+            f"codebook_size {model.codebook_size}"
+        )
+    n_q = int(np.asarray(artifact["codes"]).shape[1])
+    if n_q > int(model.n_codebooks):
+        raise ValueError(
+            f"artifact has {n_q} codebook stages, model has only "
+            f"{model.n_codebooks}"
         )
     codes = jnp.asarray(np.asarray(artifact["codes"]).astype(np.int32))
     wav = model.apply(params, codes, method=type(model).decode_from_codes)

@@ -344,9 +344,25 @@ class DAC(BaseModel):
 
     def encode(self, audio: jnp.ndarray, n_quantizers: int = None):
         """Waveform -> quantized latents + codes (optionally truncating
-        the codebook cascade to ``n_quantizers`` stages)."""
-        out = self(audio, n_quantizers)
-        return out["z"], out["codes"]
+        the codebook cascade to ``n_quantizers`` stages).
+
+        Runs encoder + quantizer only — unlike the full forward, the
+        decoder is never touched, which matters for eager compress()
+        calls (each eager TPU dispatch is seconds over the tunnel and
+        the decoder is the dominant cost)."""
+        if audio.ndim == 3:
+            x = jnp.swapaxes(audio, 1, 2)  # (B, T, C)
+        else:
+            x = audio[..., None]
+        # pad to a multiple of the hop length (same as __call__)
+        hop = self.hop_length
+        pad = (hop - x.shape[1] % hop) % hop
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+        z = self.encoder(x)
+        z_q, codes, _, _ = self.quantizer(z, n_quantizers)
+        return z_q, codes
 
     def decode_from_latents(self, z_q: jnp.ndarray):
         recon = self.decoder(z_q)

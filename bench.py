@@ -52,8 +52,10 @@ def main():
     from audiotools_tpu.ops import stretch as S
 
     # Fast BS.1770 meter: 512-tap composed FIR on the Pallas MXU kernel
-    # (v5e: 9.2 ms vs 17.6 ms per batch-64 meter; three meters per chain
-    # step). dLUFS vs the exact meter is 7e-5.
+    # (v5e: 2.6 ms vs ~11 ms for the exact meter per batch-64 x 5 s;
+    # three meter programs per chain step). dLUFS vs the exact meter is
+    # 7e-5 broadband — see set_fast_meter's docstring for the
+    # narrowband-LF envelope and the zeros=2048 option.
     L.set_fast_meter(True)
 
     root = Path(tempfile.mkdtemp())
@@ -156,7 +158,14 @@ def main():
     t1 = time.perf_counter()
     float(_chain_loop(sig.audio_data, kw, n2))
     t2 = time.perf_counter()
-    steady = max(((t2 - t1) - (t1 - t0)) / 10, 1e-9)
+    steady = ((t2 - t1) - (t1 - t0)) / 10
+    # Calibration sanity: a single network stall during either leg can
+    # make the two-point difference non-positive (or absurdly small),
+    # which would print a nonsense headline. The dispatch-inclusive time
+    # is a hard upper bound on true device time — fall back to it
+    # (conservative) whenever the calibrated number is not credible.
+    if not (0.0 < steady <= dispatch_inclusive):
+        steady = dispatch_inclusive
 
     clips_per_sec = BATCH / steady
     rtf = clips_per_sec * DURATION

@@ -330,3 +330,17 @@ def test_choose_children_honor_rewritten_masks():
     expected = {round(10 ** (-20 / 20), 3), round(10 ** (6 / 20), 3)}
     assert gains <= expected, gains
     assert len(gains) == 2, gains
+
+
+def test_prob_one_respects_concrete_false_mask():
+    """A hand-edited concrete mask must still win over the prob=1.0
+    shortcut (the shortcut only trusts prob when the mask is a traced
+    value it cannot inspect)."""
+    transform = tfm.VolumeChange(("const", -20.0))
+    signal = _signal()
+    kwargs = transform.instantiate(
+        audiotools_tpu.core.util.random_state(SEED), signal
+    )
+    kwargs[transform.name]["mask"] = tfm.tt(False)
+    out = transform(signal.clone(), **kwargs)
+    assert np.array_equal(out.numpy(), signal.numpy())

@@ -234,3 +234,26 @@ def test_compress_decompress_artifact(tmp_path, tiny_model, tiny_params):
     bad["sample_rate"] = 8000
     with pytest.raises(ValueError):
         decompress(model, params, bad)
+
+
+def test_artifact_mismatch_guards(tiny_model, tiny_params):
+    """decompress must refuse artifacts from a mismatched model instead
+    of silently decoding garbage (jnp.take clamps out-of-range codes)."""
+    from audiotools_tpu.models import compress, decompress
+
+    model, params = tiny_model, tiny_params
+    sig = AudioSignal(
+        (np.random.RandomState(6).randn(1, 1, 1600) * 0.1).astype(np.float32),
+        model.sample_rate,
+    )
+    art = compress(model, params, sig)
+
+    wrong_cb = dict(art)
+    wrong_cb["codebook_size"] = art["codebook_size"] * 2
+    with pytest.raises(ValueError):
+        decompress(model, params, wrong_cb)
+
+    too_many = dict(art)
+    too_many["codes"] = np.concatenate([art["codes"]] * 3, axis=1)
+    with pytest.raises(ValueError):
+        decompress(model, params, too_many)
