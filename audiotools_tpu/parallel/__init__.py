@@ -4,5 +4,6 @@ from .timeshard import (
     sharded_frames,
     sharded_istft,
     sharded_loudness,
+    sharded_resample,
     sharded_stft,
 )

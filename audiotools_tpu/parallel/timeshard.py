@@ -30,6 +30,7 @@ from jax import shard_map
 __all__ = [
     "sharded_fir_conv",
     "sharded_frames",
+    "sharded_resample",
     "sharded_stft",
     "sharded_istft",
     "sharded_loudness",
@@ -88,6 +89,92 @@ def sharded_fir_conv(
         out_specs=spec,
     )
     return fn(x, kernel)
+
+
+def sharded_resample(
+    x: jnp.ndarray,
+    old_sr: int,
+    new_sr: int,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    zeros: int = 24,
+    rolloff: float = 0.945,
+) -> jnp.ndarray:
+    """Polyphase resampling of ``(..., T)`` audio sharded along T.
+
+    Matches ``ops.resample.resample`` (the julius ``resample_frac``
+    semantics, reference audio_signal.py:716-736) on the full signal:
+    each shard convolves locally after a two-sided halo exchange
+    (``width`` samples from the left neighbor, ``width + old`` from the
+    right), with the global edge-replicate padding realized on the first
+    and last shards. Requires each shard's length to be a multiple of
+    the reduced ``old`` rate so every shard starts on the same polyphase
+    phase — then shard outputs are uniform (``T_shard * new / old``) and
+    concatenate to exactly the single-device result.
+    """
+    import math as _math
+
+    if old_sr == new_sr:
+        return x
+    gcd = _math.gcd(int(old_sr), int(new_sr))
+    old, new = int(old_sr) // gcd, int(new_sr) // gcd
+
+    from ..ops.resample import resample_kernels
+
+    kernels_np, width = resample_kernels(old, new, zeros, rolloff)
+    kernels = jnp.asarray(kernels_np)[:, None, :]
+
+    n_dev = int(np.prod([mesh.devices.shape[mesh.axis_names.index(axis_name)]]))
+    T = x.shape[-1]
+    if T % n_dev:
+        raise ValueError(f"T={T} must divide over {n_dev} shards")
+    T_shard = T // n_dev
+    if T_shard % old:
+        raise ValueError(
+            f"shard length {T_shard} must be a multiple of the reduced "
+            f"old rate {old} so all shards share the polyphase phase"
+        )
+
+    def local(block):
+        # block: (B, T_shard) local shard
+        n = jax.lax.axis_size(axis_name)
+        idx = jax.lax.axis_index(axis_name)
+
+        left = _halo_from_left(block, width, axis_name)
+        # first shard: replicate its own first sample (global edge pad)
+        left = jnp.where(
+            idx == 0,
+            jnp.broadcast_to(block[..., :1], left.shape),
+            left,
+        )
+        right = _halo_from_right(block, width + old, axis_name)
+        # last shard: replicate its own last sample
+        right = jnp.where(
+            idx == n - 1,
+            jnp.broadcast_to(block[..., -1:], right.shape),
+            right,
+        )
+        xx = jnp.concatenate([left, block, right], axis=-1)[:, None, :]
+        y = jax.lax.conv_general_dilated(
+            xx,
+            kernels,
+            window_strides=(old,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        y = jnp.swapaxes(y, -1, -2).reshape((block.shape[0], -1))
+        return y[..., : T_shard * new // old]
+
+    batch_shape = x.shape[:-1]
+    flat = x.reshape((-1, T)).astype(jnp.float32)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, axis_name),
+        out_specs=P(None, axis_name),
+    )
+    out = fn(flat)
+    return out.reshape(batch_shape + (out.shape[-1],))
 
 
 def sharded_frames(

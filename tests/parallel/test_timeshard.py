@@ -183,3 +183,34 @@ def test_sharded_loudness_relative_gate_engages():
     z_abs = np.where(keep[:, None], z, 0).sum(-1) / keep.sum(-1)
     lufs_abs_only = float(-0.691 + 10 * np.log10(z_abs.sum(-1))[0])
     assert abs(lufs_abs_only - lufs_ref) > 0.5
+
+
+@pytest.mark.parametrize("old_new", [(2, 3), (3, 2), (147, 160), (160, 147)])
+def test_sharded_resample_matches_single_device(old_new):
+    """sharded_resample == ops.resample.resample at 1e-6 across up/down
+    rational ratios (147/160 is the 44.1k<->48k pair)."""
+    from audiotools_tpu.ops.resample import resample
+    from audiotools_tpu.parallel import sharded_resample
+
+    old, new = old_new
+    n_dev = 8
+    # shard length must be a multiple of the reduced old rate
+    T = n_dev * old * 40
+    rng = np.random.RandomState(0)
+    x = jnp.asarray((rng.randn(2, T) * 0.1).astype(np.float32))
+    mesh = make_mesh({"sp": n_dev})
+
+    want = np.asarray(resample(x, old, new))
+    got = np.asarray(sharded_resample(x, old, new, mesh))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    err = np.abs(got - want).max()
+    assert err < 1e-6, (old, new, err)
+
+
+def test_sharded_resample_shard_constraint():
+    from audiotools_tpu.parallel import sharded_resample
+
+    mesh = make_mesh({"sp": 8})
+    x = jnp.zeros((1, 8 * 7))  # shard length 7 not divisible by old=2
+    with pytest.raises(ValueError):
+        sharded_resample(x, 2, 3, mesh)
