@@ -153,17 +153,20 @@ def main():
     n1, n2 = jnp.asarray(10), jnp.asarray(20)
     float(_chain_loop(sig.audio_data, kw, n1))
     float(_chain_loop(sig.audio_data, kw, n2))
-    t0 = time.perf_counter()
-    float(_chain_loop(sig.audio_data, kw, n1))
-    t1 = time.perf_counter()
-    float(_chain_loop(sig.audio_data, kw, n2))
-    t2 = time.perf_counter()
-    steady = ((t2 - t1) - (t1 - t0)) / 10
-    # Calibration sanity: a single network stall during either leg can
-    # make the two-point difference non-positive (or absurdly small),
-    # which would print a nonsense headline. The dispatch-inclusive time
-    # is a hard upper bound on true device time — fall back to it
-    # (conservative) whenever the calibrated number is not credible.
+    # Each leg is single-shot over a jittery tunneled transport, so one
+    # stall skews a lone pair by +-15%; take the median of three pairs.
+    diffs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(_chain_loop(sig.audio_data, kw, n1))
+        t1 = time.perf_counter()
+        float(_chain_loop(sig.audio_data, kw, n2))
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / 10)
+    steady = float(np.median(diffs))
+    # Calibration sanity: the dispatch-inclusive time is a hard upper
+    # bound on true device time — fall back to it (conservative)
+    # whenever the calibrated number is not credible.
     if not (0.0 < steady <= dispatch_inclusive):
         steady = dispatch_inclusive
 
