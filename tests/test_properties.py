@@ -24,7 +24,7 @@ def _noise(seed, shape, scale=0.1):
     return (np.random.RandomState(seed).randn(*shape) * scale).astype(np.float32)
 
 
-@settings(**SETTINGS)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     seed=st.integers(0, 2**16),
     log_win=st.integers(6, 11),
@@ -32,7 +32,10 @@ def _noise(seed, shape, scale=0.1):
     length=st.integers(1000, 12000),
 )
 def test_stft_istft_roundtrip(seed, log_win, hop_div, length):
-    """istft(stft(x)) == x for any window size / hop / length."""
+    """istft(stft(x)) == x for any window size / hop / length.
+
+    max_examples=8: every example is a fresh (win, hop, length) shape and
+    therefore a fresh XLA compile — the dominant cost on this 1-core box."""
     win = 2**log_win
     hop = win // hop_div
     x = jnp.asarray(_noise(seed, (1, 1, length)))
