@@ -11,6 +11,7 @@ metadata; this module provides that workflow for the flagship model:
 """
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..core import AudioSignal
@@ -41,12 +42,13 @@ def compress(model, params, signal, n_quantizers: int = None) -> dict:
             "uint16 artifact format"
         )
     n_samples = int(audio.shape[-1])
-    # DAC.encode runs encoder + quantizer only (no decoder) — important
-    # eagerly, where the unused reconstruction could not be dead-code
-    # eliminated and the decoder dominates the codec's cost.
-    _, codes = model.apply(
-        params, audio, n_quantizers, method=type(model).encode
+    # DAC.encode runs encoder + quantizer only (no decoder), and the
+    # apply is jitted: one compiled program instead of hundreds of eager
+    # dispatches (each of which is seconds over a tunneled transport).
+    encode = jax.jit(
+        lambda p, a: model.apply(p, a, n_quantizers, method=type(model).encode)
     )
+    _, codes = encode(params, audio)
     return {
         "codes": np.asarray(codes).astype(np.uint16),
         "sample_rate": int(model.sample_rate),
@@ -81,7 +83,10 @@ def decompress(model, params, artifact: dict) -> AudioSignal:
             f"{model.n_codebooks}"
         )
     codes = jnp.asarray(np.asarray(artifact["codes"]).astype(np.int32))
-    wav = model.apply(params, codes, method=type(model).decode_from_codes)
+    decode = jax.jit(
+        lambda p, c: model.apply(p, c, method=type(model).decode_from_codes)
+    )
+    wav = decode(params, codes)
     wav = wav[..., : int(artifact["n_samples"])]
     return AudioSignal(wav, int(artifact["sample_rate"]))
 
