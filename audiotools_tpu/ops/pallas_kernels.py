@@ -134,7 +134,7 @@ def fir_conv_causal(x: jnp.ndarray, h: np.ndarray, interpret: bool = False):
         _make_kernel(W_blk, S_blk),
         grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (W_blk, BLK, BLK), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -240,7 +240,7 @@ def fir_conv_causal_batch(
         _make_batch_kernel(W_blk, S_blk),
         grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (1, W_blk, BLK, BLK),
                 lambda b, t: (b, 0, 0, 0),
