@@ -27,8 +27,9 @@ class EffectMixin:
         "Ogg": {"format": "ogg", "compression": -1},
         "Amr-nb": {"format": "amr-nb"},
     }
-    """Codec presets (reference effects.py:14-25). All presets except
-    Amr-nb (no system lib) run natively here; see ``apply_codec``."""
+    """Codec presets (reference effects.py:14-25). All presets run
+    natively here; see ``apply_codec``. Amr-nb runs through this
+    package's own ACELP implementation (``io/amrnb.py``)."""
 
     def mix(self, other, snr=10, other_eq=None):
         """Mix ``other`` into self at the given SNR
@@ -367,10 +368,30 @@ class EffectMixin:
                 out.append(dec[:, :T])
             self.audio_data = jnp.asarray(np.stack(out))
             return self
+        if fmt == "amr-nb":
+            # AMR-NB-class ACELP codec, implemented in this package
+            # (io/amrnb.py): 8 kHz mono like GSM, so the round trip is
+            # resample-down, code per channel, resample-up — the same
+            # telephone-channel simulation the reference gets from
+            # torchaudio's amr-nb path (effects.py:370-384).
+            from ..io import amrnb
+
+            orig_sr, T = self.sample_rate, self.signal_length
+            self.resample(8000)
+            host = np.asarray(self.audio_data)
+            out = np.stack(
+                [amrnb.amrnb_roundtrip(host[i]) for i in range(self.batch_size)]
+            )
+            self.audio_data = jnp.asarray(out)
+            self.resample(orig_sr)
+            if self.signal_length < T:
+                self.zero_pad(0, T - self.signal_length)
+            self.truncate_samples(T)
+            return self
         raise RuntimeError(
             f"Codec format '{fmt}' requires external codec libraries that "
             "are not available; native support: wav (PCM/ULAW), mp3, "
-            "ogg/vorbis."
+            "ogg/vorbis, gsm, amr-nb."
         )
 
     def mel_filterbank(self, n_bands: int):

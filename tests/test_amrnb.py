@@ -1,0 +1,132 @@
+"""AMR-NB-class ACELP codec (io/amrnb.py) and its apply_codec preset.
+
+The reference reaches the ``Amr-nb`` preset through torchaudio's
+sox/ffmpeg AMR codec (reference effects.py:14-25, :370-384); here the
+codec itself is implemented in-package, so these tests validate the
+implementation's codec properties (round-trip fidelity, bitstream
+decode independence, determinism) rather than bitstream parity.
+
+Note on comparisons: the encoder applies the spec's 80 Hz high-pass
+preprocessing, whose phase lead near cutoff decorrelates raw waveform
+comparisons at low frequencies (cos(80deg) ~ 0.17 at ~100 Hz). Tests
+therefore correlate against the HP-filtered input where precision
+matters.
+"""
+import numpy as np
+import pytest
+import scipy.signal as ss
+
+from audiotools_tpu.io import amrnb
+
+
+def _hp(x):
+    return ss.lfilter(amrnb._HP_B, amrnb._HP_A, np.asarray(x) * 32768.0) / 32768.0
+
+
+def _voiced(dur=1.0, f0=120.0, amp=0.4, sr=8000):
+    """Voiced-speech surrogate: glottal pulse train through two
+    formant-like resonators, with slow amplitude modulation."""
+    n = int(sr * dur)
+    t = np.arange(n) / sr
+    pulses = np.zeros(n)
+    pulses[:: int(sr / f0)] = 1.0
+    b1, a1 = ss.butter(2, [500 / 4000, 900 / 4000], "bandpass")
+    b2, a2 = ss.butter(2, [1800 / 4000, 2400 / 4000], "bandpass")
+    x = ss.lfilter(b1, a1, pulses) + 0.5 * ss.lfilter(b2, a2, pulses)
+    x = amp * x / np.max(np.abs(x))
+    return x * (0.4 + 0.6 * np.abs(np.sin(2 * np.pi * 1.5 * t)))
+
+
+def test_bitrate_is_amr122_class():
+    # 270 bits / 20 ms frame = 13.5 kbit/s, the 12.2-mode class
+    assert amrnb.bitrate() == pytest.approx(13500.0)
+    assert amrnb.amrnb_available()
+
+
+def test_roundtrip_voiced_fidelity():
+    x = _voiced()
+    y = amrnb.decode(amrnb.encode(x))
+    assert y.shape == x.shape
+    assert y.dtype == np.float32
+    c = np.corrcoef(_hp(x), y)[0, 1]
+    assert c > 0.75, c
+    # spectral envelope in the telephone band survives
+    f, px = ss.welch(x, 8000, nperseg=256)
+    _, py = ss.welch(y.astype(np.float64), 8000, nperseg=256)
+    band = (f > 300) & (f < 3000)
+    lsd = np.sqrt(
+        np.mean(
+            (10 * np.log10(px[band] + 1e-12) - 10 * np.log10(py[band] + 1e-12))
+            ** 2
+        )
+    )
+    assert lsd < 8.0, lsd
+
+
+def test_roundtrip_tonal_fractional_pitch():
+    """A 220 Hz tone has a fractional pitch period (36.36 samples) —
+    the 1/3-resolution adaptive codebook must still track it."""
+    t = np.arange(8000) / 8000
+    x = 0.4 * np.sin(2 * np.pi * 220 * t)
+    y = amrnb.decode(amrnb.encode(x))
+    assert np.corrcoef(_hp(x), y)[0, 1] > 0.9
+
+
+def test_silence_stays_silent():
+    y = amrnb.decode(amrnb.encode(np.zeros(4000)))
+    assert np.abs(y).max() < 1e-3
+
+
+def test_full_scale_saturates_not_explodes():
+    x = np.clip(_voiced(amp=1.0), -1, 1)
+    y = amrnb.decode(amrnb.encode(x))
+    assert np.isfinite(y).all()
+    assert np.abs(y).max() <= 1.0 + 1e-6
+
+
+def test_length_preservation_and_padding():
+    base = _voiced(0.5)
+    for n in (0, 1, 159, 160, 161, 321):
+        y = amrnb.decode(amrnb.encode(base[:n]))
+        assert len(y) == n
+
+
+def test_bitstream_deterministic_and_decoder_independent():
+    x = _voiced(0.5)
+    b1 = amrnb.encode(x)
+    b2 = amrnb.encode(x)
+    assert b1 == b2
+    # decode is a pure function of the bytes
+    assert np.array_equal(amrnb.decode(b1), amrnb.decode(bytes(b1)))
+    with pytest.raises(ValueError):
+        amrnb.decode(b"JUNK" + b1[4:])
+
+
+def test_roundtrip_multichannel():
+    x = np.stack([_voiced(0.5), _voiced(0.5, f0=180.0)]).astype(np.float32)
+    y = amrnb.amrnb_roundtrip(x)
+    assert y.shape == x.shape
+    for c in range(2):
+        assert np.corrcoef(_hp(x[c]), y[c])[0, 1] > 0.7
+
+
+def test_apply_codec_amrnb_preset():
+    """The Amr-nb preset (reference effects.py:14-25) round-trips through
+    resample-to-8k + ACELP + resample-back at the original length."""
+    import jax.numpy as jnp
+
+    from audiotools_tpu import AudioSignal
+
+    sr = 16000
+    x = ss.resample_poly(_voiced(0.5), 2, 1).astype(np.float32)
+    sig = AudioSignal(jnp.asarray(x[None, None, :]), sr)
+    out = sig.clone().apply_codec(preset="Amr-nb")
+    assert out.signal_length == sig.signal_length
+    assert out.sample_rate == sr
+    a = np.asarray(out.audio_data[0, 0])
+    # telephone-band content survives; exact waveform does not
+    ref = ss.resample_poly(
+        _hp(ss.resample_poly(x.astype(np.float64), 1, 2)), 2, 1
+    )
+    assert np.corrcoef(ref[: len(a)], a)[0, 1] > 0.6
+    assert np.abs(a - x).max() > 1e-3  # codec actually altered the audio
