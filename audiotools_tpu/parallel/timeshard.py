@@ -18,7 +18,14 @@ Primitives
 * ``sharded_loudness`` — complete BS.1770-4 meter (K-weighting +
   absolute AND relative gates, reference loudness.py:176-247) over
   sharded time with two psum gating rounds.
+
+Each public function resolves its compiled program through an
+``lru_cache``d builder keyed on the static configuration (lengths,
+rates, mesh, axis) plus a jit memo — so repeat calls with the same
+geometry reuse one traced+compiled executable instead of rebuilding the
+shard_map pipeline every time.
 """
+import functools
 import math
 
 import jax
@@ -35,6 +42,13 @@ __all__ = [
     "sharded_istft",
     "sharded_loudness",
 ]
+
+
+@functools.lru_cache(maxsize=None)
+def _jit(fn):
+    """One jitted wrapper per cached raw shard_map program (keyed on the
+    function object, which the lru_cached builders make canonical)."""
+    return jax.jit(fn)
 
 
 def _halo_from_left(block: jnp.ndarray, halo: int, axis_name: str):
@@ -62,6 +76,26 @@ def _halo_from_right(block: jnp.ndarray, halo: int, axis_name: str):
     return recv
 
 
+@functools.lru_cache(maxsize=None)
+def _fir_conv_raw(K: int, ndim: int, mesh: Mesh, axis_name: str):
+    from ..ops.filters import causal_fft_conv1d
+
+    def local(block, k):
+        # block: (..., T_shard) local shard
+        halo = _halo_from_left(block, K - 1, axis_name)
+        ext = jnp.concatenate([halo, block], axis=-1)
+        y = causal_fft_conv1d(ext, k)
+        return y[..., K - 1 :]
+
+    spec = P(*([None] * (ndim - 1)), axis_name)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, P()),
+        out_specs=spec,
+    )
+
+
 def sharded_fir_conv(
     x: jnp.ndarray, kernel, mesh: Mesh, axis_name: str = "sp"
 ) -> jnp.ndarray:
@@ -70,70 +104,24 @@ def sharded_fir_conv(
     ppermute halo exchange; each shard then runs an ordinary local conv.
     """
     kernel = jnp.asarray(kernel, dtype=jnp.float32)
-    K = kernel.shape[-1]
-
-    from ..ops.filters import causal_fft_conv1d
-
-    def local(block, k):
-        # block: (B, C, T_shard) local shard
-        halo = _halo_from_left(block, K - 1, axis_name)
-        ext = jnp.concatenate([halo, block], axis=-1)
-        y = causal_fft_conv1d(ext, k)
-        return y[..., K - 1 :]
-
-    spec = P(*([None] * (x.ndim - 1)), axis_name)
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(spec, P()),
-        out_specs=spec,
-    )
-    return fn(x, kernel)
+    raw = _fir_conv_raw(kernel.shape[-1], x.ndim, mesh, axis_name)
+    return _jit(raw)(x, kernel)
 
 
-def sharded_resample(
-    x: jnp.ndarray,
-    old_sr: int,
-    new_sr: int,
+@functools.lru_cache(maxsize=None)
+def _resample_raw(
+    old: int,
+    new: int,
+    zeros: int,
+    rolloff: float,
+    T_shard: int,
     mesh: Mesh,
-    axis_name: str = "sp",
-    zeros: int = 24,
-    rolloff: float = 0.945,
-) -> jnp.ndarray:
-    """Polyphase resampling of ``(..., T)`` audio sharded along T.
-
-    Matches ``ops.resample.resample`` (the julius ``resample_frac``
-    semantics, reference audio_signal.py:716-736) on the full signal:
-    each shard convolves locally after a two-sided halo exchange
-    (``width`` samples from the left neighbor, ``width + old`` from the
-    right), with the global edge-replicate padding realized on the first
-    and last shards. Requires each shard's length to be a multiple of
-    the reduced ``old`` rate so every shard starts on the same polyphase
-    phase — then shard outputs are uniform (``T_shard * new / old``) and
-    concatenate to exactly the single-device result.
-    """
-    import math as _math
-
-    if old_sr == new_sr:
-        return x
-    gcd = _math.gcd(int(old_sr), int(new_sr))
-    old, new = int(old_sr) // gcd, int(new_sr) // gcd
-
+    axis_name: str,
+):
     from ..ops.resample import resample_kernels
 
     kernels_np, width = resample_kernels(old, new, zeros, rolloff)
     kernels = jnp.asarray(kernels_np)[:, None, :]
-
-    n_dev = int(np.prod([mesh.devices.shape[mesh.axis_names.index(axis_name)]]))
-    T = x.shape[-1]
-    if T % n_dev:
-        raise ValueError(f"T={T} must divide over {n_dev} shards")
-    T_shard = T // n_dev
-    if T_shard % old:
-        raise ValueError(
-            f"shard length {T_shard} must be a multiple of the reduced "
-            f"old rate {old} so all shards share the polyphase phase"
-        )
 
     def local(block):
         # block: (B, T_shard) local shard
@@ -165,16 +153,91 @@ def sharded_resample(
         y = jnp.swapaxes(y, -1, -2).reshape((block.shape[0], -1))
         return y[..., : T_shard * new // old]
 
-    batch_shape = x.shape[:-1]
-    flat = x.reshape((-1, T)).astype(jnp.float32)
-    fn = shard_map(
+    return shard_map(
         local,
         mesh=mesh,
         in_specs=P(None, axis_name),
         out_specs=P(None, axis_name),
     )
-    out = fn(flat)
+
+
+def sharded_resample(
+    x: jnp.ndarray,
+    old_sr: int,
+    new_sr: int,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    zeros: int = 24,
+    rolloff: float = 0.945,
+) -> jnp.ndarray:
+    """Polyphase resampling of ``(..., T)`` audio sharded along T.
+
+    Matches ``ops.resample.resample`` (the julius ``resample_frac``
+    semantics, reference audio_signal.py:716-736) on the full signal:
+    each shard convolves locally after a two-sided halo exchange
+    (``width`` samples from the left neighbor, ``width + old`` from the
+    right), with the global edge-replicate padding realized on the first
+    and last shards. Requires each shard's length to be a multiple of
+    the reduced ``old`` rate so every shard starts on the same polyphase
+    phase — then shard outputs are uniform (``T_shard * new / old``) and
+    concatenate to exactly the single-device result.
+    """
+    if old_sr == new_sr:
+        return x
+    gcd = math.gcd(int(old_sr), int(new_sr))
+    old, new = int(old_sr) // gcd, int(new_sr) // gcd
+
+    n_dev = mesh.shape[axis_name]
+    T = x.shape[-1]
+    if T % n_dev:
+        raise ValueError(f"T={T} must divide over {n_dev} shards")
+    T_shard = T // n_dev
+    if T_shard % old:
+        raise ValueError(
+            f"shard length {T_shard} must be a multiple of the reduced "
+            f"old rate {old} so all shards share the polyphase phase"
+        )
+
+    raw = _resample_raw(old, new, zeros, rolloff, T_shard, mesh, axis_name)
+    batch_shape = x.shape[:-1]
+    flat = x.reshape((-1, T)).astype(jnp.float32)
+    out = _jit(raw)(flat)
     return out.reshape(batch_shape + (out.shape[-1],))
+
+
+@functools.lru_cache(maxsize=None)
+def _frames_raw(
+    frame_length: int,
+    hop_length: int,
+    T: int,
+    mesh: Mesh,
+    axis_name: str,
+):
+    n_dev = mesh.shape[axis_name]
+    T_shard = T // n_dev
+    overlap = frame_length - hop_length
+    nf_local = T_shard // hop_length
+    n_valid = 1 + (T - frame_length) // hop_length
+
+    def local(block):
+        recv = _halo_from_right(block, overlap, axis_name)
+        ext = jnp.concatenate([block, recv], axis=-1)
+
+        idxm = (
+            np.arange(nf_local, dtype=np.int32)[:, None] * hop_length
+            + np.arange(frame_length, dtype=np.int32)[None, :]
+        )
+        frames = ext[..., idxm]  # (B_local, nf_local, frame_length)
+        d = jax.lax.axis_index(axis_name)
+        j = d * nf_local + jnp.arange(nf_local)
+        return jnp.where((j < n_valid)[:, None], frames, 0.0)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis_name),),
+        out_specs=P(None, axis_name, None),
+    )
 
 
 def sharded_frames(
@@ -202,29 +265,10 @@ def sharded_frames(
     assert T_shard % hop_length == 0, "shard length must divide into hops"
     overlap = frame_length - hop_length
     assert 0 <= overlap <= T_shard, "frame overlap must fit in one shard"
-    nf_local = T_shard // hop_length
     n_valid = 1 + (T - frame_length) // hop_length
 
-    def local(block):
-        recv = _halo_from_right(block, overlap, axis_name)
-        ext = jnp.concatenate([block, recv], axis=-1)
-
-        idxm = (
-            np.arange(nf_local, dtype=np.int32)[:, None] * hop_length
-            + np.arange(frame_length, dtype=np.int32)[None, :]
-        )
-        frames = ext[..., idxm]  # (B_local, nf_local, frame_length)
-        d = jax.lax.axis_index(axis_name)
-        j = d * nf_local + jnp.arange(nf_local)
-        return jnp.where((j < n_valid)[:, None], frames, 0.0)
-
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, axis_name),),
-        out_specs=P(None, axis_name, None),
-    )
-    return fn(x), n_valid
+    raw = _frames_raw(frame_length, hop_length, T, mesh, axis_name)
+    return _jit(raw)(x), n_valid
 
 
 def _stft_geometry(T, n_dev, window_length, hop_length):
@@ -249,31 +293,18 @@ def _stft_geometry(T, n_dev, window_length, hop_length):
     return cpad, T_shard, nf_local, n_valid, right
 
 
-def sharded_stft(
-    x: jnp.ndarray,
+@functools.lru_cache(maxsize=None)
+def _stft_raw(
     window_length: int,
     hop_length: int,
+    T: int,
+    window_type: str,
+    axis_name: str,
+    method: str,
     mesh: Mesh,
-    window_type: str = "hann",
-    axis_name: str = "sp",
-    method: str = "fft",
 ):
-    """STFT of ``(B, T)`` audio sharded along T, frames sharded over
-    ``axis_name``.
-
-    Matches ``ops.fft.stft`` (``match_stride=False``, reflect center
-    padding — reference audio_signal.py:1123-1212) exactly on the first
-    ``n_valid`` frames; each device emits ``T_shard // hop + 1`` frames
-    and the globally-trailing ``n_dev - 1`` surplus frames are zeroed.
-    The center reflect-pad is materialized locally on the edge shards and
-    window overlap crosses shards via ppermute halos.
-
-    Returns ``(spec, n_valid)`` with ``spec`` complex64 of shape
-    ``(B, n_freq, n_dev * nf_local)`` sharded as ``P(None, None, sp)``.
-    """
     from ..ops.fft import _dft_matrices, get_window
 
-    T = x.shape[-1]
     n_dev = mesh.shape[axis_name]
     cpad, T_shard, nf_local, n_valid, right = _stft_geometry(
         T, n_dev, window_length, hop_length
@@ -327,47 +358,61 @@ def sharded_stft(
             spec = jnp.fft.rfft(frames * window, axis=-1)
         return jnp.swapaxes(spec, -1, -2)  # (B, n_freq, nf_local)
 
-    fn = shard_map(
+    return shard_map(
         local,
         mesh=mesh,
         in_specs=(P(None, axis_name),),
         out_specs=P(None, None, axis_name),
     )
-    return fn(x), n_valid
 
 
-def sharded_istft(
-    spec: jnp.ndarray,
+def sharded_stft(
+    x: jnp.ndarray,
     window_length: int,
     hop_length: int,
     mesh: Mesh,
     window_type: str = "hann",
     axis_name: str = "sp",
     method: str = "fft",
-    n_valid: int = None,
-) -> jnp.ndarray:
-    """Inverse of :func:`sharded_stft`: ``(B, n_freq, nf)`` frames
-    sharded over ``axis_name`` back to ``(B, T)`` audio sharded along T.
+):
+    """STFT of ``(B, T)`` audio sharded along T, frames sharded over
+    ``axis_name``.
 
-    Windowed overlap-add with window-square normalization
-    (``torch.istft`` semantics, reference audio_signal.py:1214-1296).
-    OLA contributions crossing shard boundaries and the output re-shard
-    both ride one ppermute each; the normalization envelope is
-    accumulated per shard from the same (validity-masked) frames, so
-    edge effects match the single-device path exactly.
+    Matches ``ops.fft.stft`` (``match_stride=False``, reflect center
+    padding — reference audio_signal.py:1123-1212) exactly on the first
+    ``n_valid`` frames; each device emits ``T_shard // hop + 1`` frames
+    and the globally-trailing ``n_dev - 1`` surplus frames are zeroed.
+    The center reflect-pad is materialized locally on the edge shards and
+    window overlap crosses shards via ppermute halos.
+
+    Returns ``(spec, n_valid)`` with ``spec`` complex64 of shape
+    ``(B, n_freq, n_dev * nf_local)`` sharded as ``P(None, None, sp)``.
     """
+    T = x.shape[-1]
+    n_dev = mesh.shape[axis_name]
+    _, _, _, n_valid, _ = _stft_geometry(T, n_dev, window_length, hop_length)
+    raw = _stft_raw(
+        window_length, hop_length, T, window_type, axis_name, method, mesh
+    )
+    return _jit(raw)(x), n_valid
+
+
+@functools.lru_cache(maxsize=None)
+def _istft_raw(
+    window_length: int,
+    hop_length: int,
+    nf: int,
+    window_type: str,
+    axis_name: str,
+    method: str,
+    mesh: Mesh,
+):
     from ..ops.fft import _idft_matrices, _overlap_add, get_window
 
-    B, n_freq, nf = spec.shape
     n_dev = mesh.shape[axis_name]
     nf_local = nf // n_dev
-    assert nf_local * n_dev == nf, "frames must divide evenly over shards"
     T_shard = (nf_local - 1) * hop_length
-    T = T_shard * n_dev
     cpad = window_length // 2
-    if n_valid is None:
-        n_valid = T // hop_length + 1
-    _stft_geometry(T, n_dev, window_length, hop_length)  # re-check contract
 
     window_np = get_window(window_type, window_length)
     wsq = jnp.asarray((window_np * window_np).astype(np.float32))
@@ -386,9 +431,10 @@ def sharded_istft(
     H_l = max(0, (n_dev - 1) * hop_length - cpad)
     H_r = max(0, cpad - hop_length)
 
-    def local(spec_block):
+    def local(spec_block, n_valid):
         n = jax.lax.axis_size(axis_name)
         d = jax.lax.axis_index(axis_name)
+        B = spec_block.shape[0]
         S = jnp.swapaxes(spec_block, -1, -2)  # (B, nf_local, n_freq)
         if method in ("matmul", "matmul_bf16"):
             frames = jnp.dot(jnp.real(S), Ci, precision=prec) + jnp.dot(
@@ -440,52 +486,77 @@ def sharded_istft(
         start = H_l + cpad - d * hop_length
         return jax.lax.dynamic_slice_in_dim(ext, start, T_shard, axis=-1)
 
-    fn = shard_map(
+    return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, None, axis_name),),
+        in_specs=(P(None, None, axis_name), P()),
         out_specs=P(None, axis_name),
     )
-    return fn(spec)
 
 
-def sharded_loudness(
-    x: jnp.ndarray,
-    rate: int,
+def sharded_istft(
+    spec: jnp.ndarray,
+    window_length: int,
+    hop_length: int,
     mesh: Mesh,
+    window_type: str = "hann",
     axis_name: str = "sp",
-    filter_class: str = "K-weighting",
-    block_size: float = 0.400,
-):
-    """Complete BS.1770-4 integrated loudness of ``(B, C, T)`` audio
-    sharded along T — K-weighting via halo FIR conv, then BOTH gating
-    stages (absolute at -70 LKFS, relative at ungated mean - 10;
-    reference loudness.py:176-247) with one psum round each. Returns
-    ``(B,)`` LUFS replicated across the mesh, matching
-    ``ops.loudness.integrated_loudness`` for signals that never fit on
-    one chip.
+    method: str = "fft",
+    n_valid: int = None,
+) -> jnp.ndarray:
+    """Inverse of :func:`sharded_stft`: ``(B, n_freq, nf)`` frames
+    sharded over ``axis_name`` back to ``(B, T)`` audio sharded along T.
+
+    Windowed overlap-add with window-square normalization
+    (``torch.istft`` semantics, reference audio_signal.py:1214-1296).
+    OLA contributions crossing shard boundaries and the output re-shard
+    both ride one ppermute each; the normalization envelope is
+    accumulated per shard from the same (validity-masked) frames, so
+    edge effects match the single-device path exactly. ``n_valid`` rides
+    into the compiled program as a traced scalar, so varying valid-frame
+    counts reuse one executable.
     """
+    B, n_freq, nf = spec.shape
+    n_dev = mesh.shape[axis_name]
+    nf_local = nf // n_dev
+    assert nf_local * n_dev == nf, "frames must divide evenly over shards"
+    T_shard = (nf_local - 1) * hop_length
+    T = T_shard * n_dev
+    if n_valid is None:
+        n_valid = T // hop_length + 1
+    _stft_geometry(T, n_dev, window_length, hop_length)  # re-check contract
+
+    raw = _istft_raw(
+        window_length, hop_length, nf, window_type, axis_name, method, mesh
+    )
+    return _jit(raw)(spec, jnp.asarray(n_valid, dtype=jnp.int32))
+
+
+@functools.lru_cache(maxsize=None)
+def _loudness_raw(
+    rate: int,
+    C: int,
+    T: int,
+    filter_class: str,
+    block_size: float,
+    mesh: Mesh,
+    axis_name: str,
+):
     from ..ops.loudness import CHANNEL_GAINS, _exact_fir
 
-    B, C, T = x.shape
+    kernel = jnp.asarray(_exact_fir(rate, filter_class))
+    fir_raw = _fir_conv_raw(kernel.shape[-1], 3, mesh, axis_name)
+
     n_dev = mesh.shape[axis_name]
     T_shard = T // n_dev
-    assert T_shard * n_dev == T, "time axis must divide evenly over shards"
-
-    kernel = jnp.asarray(_exact_fir(rate, filter_class))
-    filtered = sharded_fir_conv(x, kernel, mesh, axis_name)
-
     T_g = block_size
     kn = int(T_g * rate)
     stride = int(T_g * rate * 0.25)
-    assert T >= kn, "signal shorter than one gating block"
-    assert T_shard % stride == 0, "shard length must divide into strides"
-    assert kn - stride <= T_shard, "gating block overlap must fit one shard"
     nf_local = T_shard // stride
     n_valid = math.ceil((T - kn) / stride) + 1
     G = jnp.asarray(CHANNEL_GAINS[:C])
 
-    def local(block):
+    def gate_local(block):
         d = jax.lax.axis_index(axis_name)
         halo = _halo_from_right(block, kn - stride, axis_name)
         ext = jnp.concatenate([block, halo], axis=-1)
@@ -525,10 +596,49 @@ def sharded_loudness(
         z_avg = jnp.where(z_avg == -jnp.inf, jnp.finfo(jnp.float32).min, z_avg)
         return -0.691 + 10.0 * jnp.log10(jnp.sum(G * z_avg, axis=-1))
 
-    fn = shard_map(
-        local,
+    gate = shard_map(
+        gate_local,
         mesh=mesh,
         in_specs=(P(None, None, axis_name),),
         out_specs=P(),
     )
-    return fn(filtered).astype(jnp.float32)
+
+    def full(x):
+        # K-weighting + gating compiled as ONE program
+        return gate(fir_raw(x, kernel)).astype(jnp.float32)
+
+    return full
+
+
+def sharded_loudness(
+    x: jnp.ndarray,
+    rate: int,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    filter_class: str = "K-weighting",
+    block_size: float = 0.400,
+):
+    """Complete BS.1770-4 integrated loudness of ``(B, C, T)`` audio
+    sharded along T — K-weighting via halo FIR conv, then BOTH gating
+    stages (absolute at -70 LKFS, relative at ungated mean - 10;
+    reference loudness.py:176-247) with one psum round each. Returns
+    ``(B,)`` LUFS replicated across the mesh, matching
+    ``ops.loudness.integrated_loudness`` for signals that never fit on
+    one chip.
+    """
+    B, C, T = x.shape
+    n_dev = mesh.shape[axis_name]
+    T_shard = T // n_dev
+    assert T_shard * n_dev == T, "time axis must divide evenly over shards"
+
+    T_g = block_size
+    kn = int(T_g * rate)
+    stride = int(T_g * rate * 0.25)
+    assert T >= kn, "signal shorter than one gating block"
+    assert T_shard % stride == 0, "shard length must divide into strides"
+    assert kn - stride <= T_shard, "gating block overlap must fit one shard"
+
+    raw = _loudness_raw(
+        int(rate), C, T, filter_class, float(block_size), mesh, axis_name
+    )
+    return _jit(raw)(x)

@@ -1,5 +1,6 @@
 """Filter-bank and resampler tests (analytic/property style, mirroring
 reference tests/core/test_dsp.py and julius's own invariants)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -75,7 +76,7 @@ def test_biquad_matches_scipy():
     b = np.array([0.2, 0.3, 0.1])
     a = np.array([1.0, -0.5, 0.25])
     x = np.random.RandomState(4).randn(3, 4096).astype(np.float32)
-    y = np.asarray(FL.biquad(jnp.asarray(x), jnp.asarray(b), jnp.asarray(a)))
+    y = np.asarray(jax.jit(FL.biquad)(jnp.asarray(x), jnp.asarray(b), jnp.asarray(a)))
     y_ref = lfilter(b, a, x, axis=-1)
     assert np.abs(y - y_ref).max() < 1e-4
 

@@ -82,8 +82,10 @@ def test_training_decreases_loss(tiny_model, tiny_params):
 def test_gradients_flow_everywhere(tiny_model, tiny_params):
     model, params = tiny_model, tiny_params
     audio = jnp.asarray(np.random.RandomState(0).randn(1, 1, 1024).astype(np.float32) * 0.3)
-    (_, _), grads = jax.value_and_grad(
-        lambda p: codec_loss(model, p, audio, 16000), has_aux=True
+    (_, _), grads = jax.jit(
+        jax.value_and_grad(
+            lambda p: codec_loss(model, p, audio, 16000), has_aux=True
+        )
     )(params)
     flat = jax.tree_util.tree_flatten_with_path(grads)[0]
     zero_paths = [
@@ -149,23 +151,25 @@ def test_graft_entry():
     g.dryrun_multichip(8)
 
 
-def test_bf16_compute_dtype():
+def test_bf16_compute_dtype(tiny_params):
     """dtype=bfloat16 runs encoder/decoder convs in bf16 while keeping
     float32 params, float32 outputs, and finite gradients (v5e: 61 ms vs
-    68 ms per train step)."""
-    kw = dict(encoder_dim=16, encoder_rates=(2, 4, 4), latent_dim=32,
-              decoder_dim=32, n_codebooks=2, codebook_size=32,
-              codebook_dim=4, sample_rate=16000)
+    68 ms per train step). Params are dtype-independent, so the f32
+    fixture params drive the bf16 model directly."""
+    mbf = DAC(
+        encoder_dim=8, encoder_rates=(2, 4, 4), latent_dim=16,
+        decoder_dim=64, n_codebooks=2, codebook_size=32, codebook_dim=4,
+        sample_rate=16000, dtype=jnp.bfloat16,
+    )
     x = jnp.asarray((np.random.RandomState(0).randn(2, 1, 1024) * 0.1).astype(np.float32))
-    m32 = DAC(**kw)
-    params = jax.jit(m32.init)(jax.random.PRNGKey(0), x)
-    mbf = DAC(**kw, dtype=jnp.bfloat16)
-    out = mbf.apply(params, x)  # f32 params drive the bf16 model directly
+    out = jax.jit(mbf.apply)(tiny_params, x)
     assert out["audio"].dtype == jnp.float32
     assert all(
-        l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(params)
+        l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(tiny_params)
     )
-    g = jax.grad(lambda p: (mbf.apply(p, x)["audio"] ** 2).mean())(params)
+    g = jax.jit(jax.grad(lambda p: (mbf.apply(p, x)["audio"] ** 2).mean()))(
+        tiny_params
+    )
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
 
 

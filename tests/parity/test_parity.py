@@ -60,7 +60,9 @@ def test_low_pass_matches_julius(cutoff_hz, block_size):
     sr = 44100
     x = _noise((1, 1, sr // 2), seed=3)
     mine = np.asarray(
-        FL.low_pass(jnp.asarray(x), cutoff_hz, sr, zeros=51, block_size=block_size)
+        jax.jit(
+            lambda a: FL.low_pass(a, cutoff_hz, sr, zeros=51, block_size=block_size)
+        )(jnp.asarray(x))
     )
     ref = oracles.torch_lowpass_filter(
         torch.from_numpy(x), cutoff_hz / sr, zeros=51
@@ -74,7 +76,11 @@ def test_low_pass_per_item_cutoffs_match_julius_loop():
     # ~7500-tap shared-support kernel bank, which is the path under test
     x = _noise((3, 2, sr // 4), seed=4)
     cutoffs = np.array([300.0, 2000.0, 10000.0], dtype=np.float32)
-    mine = np.asarray(FL.low_pass(jnp.asarray(x), jnp.asarray(cutoffs), sr, zeros=51))
+    mine = np.asarray(
+        jax.jit(lambda a, c: FL.low_pass(a, c, sr, zeros=51))(
+            jnp.asarray(x), jnp.asarray(cutoffs)
+        )
+    )
     for i, c in enumerate(cutoffs):
         ref = oracles.torch_lowpass_filter(
             torch.from_numpy(x[i]), float(c) / sr, zeros=51

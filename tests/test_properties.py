@@ -6,10 +6,13 @@ which has no property tests) by sweeping shapes, rates, and parameters that
 nobody thought to enumerate. Settings are kept small/derandomized so the
 suite stays fast and deterministic in CI.
 """
+import functools
+
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
+import jax
 import jax.numpy as jnp
 
 from audiotools_tpu import AudioSignal
@@ -18,6 +21,52 @@ from audiotools_tpu.ops import loudness as L
 from audiotools_tpu.ops import resample as R
 
 SETTINGS = dict(max_examples=15, deadline=None, derandomize=True)
+
+# Every hypothesis example would otherwise run eagerly (per-op dispatch
+# dominates on this 1-core box). The memoized jitted closures below
+# compile each (static-params) variant once; with derandomize=True the
+# example set is identical across runs, so the persistent XLA cache
+# makes repeat suite runs nearly free.
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_roundtrip(win, hop, length):
+    return jax.jit(
+        lambda x: F.istft(F.stft(x, win, hop, "hann"), win, hop, "hann", length=length)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_resample(old, new):
+    return jax.jit(lambda x: R.resample(x, old, new))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_loudness(rate):
+    return jax.jit(lambda x: L.loudness(x, rate))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_convolve(length, ir_len):
+    return jax.jit(
+        lambda xa, ira: AudioSignal(xa, 44100)
+        .convolve(AudioSignal(ira, 44100), start_at_max=False)
+        .audio_data
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_unity_stretch(S):
+    return jax.jit(lambda x: S.time_stretch(x, 1.0, 512, 128))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_normalize_meter():
+    def f(a, db):
+        out = AudioSignal(a, 44100).normalize(db)
+        return L.loudness(out.audio_data, 44100)
+
+    return jax.jit(f)
 
 
 def _noise(seed, shape, scale=0.1):
@@ -39,8 +88,7 @@ def test_stft_istft_roundtrip(seed, log_win, hop_div, length):
     win = 2**log_win
     hop = win // hop_div
     x = jnp.asarray(_noise(seed, (1, 1, length)))
-    spec = F.stft(x, win, hop, "hann")
-    y = F.istft(spec, win, hop, "hann", length=length)
+    y = _jit_roundtrip(win, hop, length)(x)
     err = float(jnp.max(jnp.abs(y - x)))
     assert err < 1e-4, (win, hop, length, err)
 
@@ -57,8 +105,9 @@ def test_resample_linearity(seed, old, new):
     x = jnp.asarray(_noise(seed, (1, 1, T)))
     y = jnp.asarray(_noise(seed + 1, (1, 1, T)))
     a, b = 0.7, -1.3
-    lhs = R.resample(a * x + b * y, old, new)
-    rhs = a * R.resample(x, old, new) + b * R.resample(y, old, new)
+    f = _jit_resample(old, new)
+    lhs = f(a * x + b * y)
+    rhs = a * f(x) + b * f(y)
     err = float(jnp.max(jnp.abs(lhs - rhs)))
     assert err < 1e-5, (old, new, err)
 
@@ -73,11 +122,12 @@ def test_loudness_gain_equivariance(seed, gain_db, nch):
     """loudness(g * x) == loudness(x) + 20 log10(g) while every gating
     block stays above the gates (stationary noise well above -70)."""
     x = _noise(seed, (1, nch, 2 * 44100), scale=0.1)
-    base = float(np.asarray(L.loudness(jnp.asarray(x), 44100))[0])
+    meter = _jit_loudness(44100)
+    base = float(np.asarray(meter(jnp.asarray(x)))[0])
     if not (-45.0 < base + min(gain_db, 0) and base + max(gain_db, 0) < -3.0):
         return  # keep both measurements inside the meter's linear regime
     g = 10.0 ** (gain_db / 20.0)
-    shifted = float(np.asarray(L.loudness(jnp.asarray(x * g), 44100))[0])
+    shifted = float(np.asarray(meter(jnp.asarray(x * g)))[0])
     assert abs((shifted - base) - gain_db) < 1e-3, (base, shifted, gain_db)
 
 
@@ -93,11 +143,8 @@ def test_convolve_with_shifted_delta_is_circular_shift(seed, length, delay):
     x = _noise(seed, (1, 1, length))
     ir = np.zeros((1, 1, max(delay + 1, 1)), np.float32)
     ir[0, 0, delay] = 1.0
-    sig = AudioSignal(x, 44100)
     out = np.asarray(
-        sig.clone()
-        .convolve(AudioSignal(ir, 44100), start_at_max=False)
-        .audio_data
+        _jit_convolve(length, ir.shape[-1])(jnp.asarray(x), jnp.asarray(ir))
     )
     want = np.roll(x, delay, axis=-1)
     err = np.abs(out - want).max()
@@ -127,8 +174,9 @@ def test_normalize_hits_target(seed, db):
     """normalize(db) makes loudness() read db (within meter tolerance)
     for any target in the meter's linear regime."""
     x = _noise(seed, (1, 1, 44100), scale=0.05)
-    sig = AudioSignal(x, 44100).normalize(db)
-    got = float(np.asarray(sig.loudness())[0])
+    got = float(
+        np.asarray(_jit_normalize_meter()(jnp.asarray(x), jnp.asarray(db)))[0]
+    )
     assert abs(got - db) < 0.15, (db, got)
 
 
@@ -141,7 +189,7 @@ def test_time_stretch_unity_factor_is_identity(seed):
     from audiotools_tpu.ops import stretch as S
 
     x = jnp.asarray(_noise(seed, (1, 1, 8192)))
-    y = S.time_stretch(x, 1.0, 512, 128)
+    y = _jit_unity_stretch(S)(x)
     err = float(jnp.max(jnp.abs(y - x)))
     assert err < 5e-4, err
 

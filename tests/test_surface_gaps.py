@@ -7,6 +7,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from audiotools_tpu import AudioSignal
@@ -113,12 +114,20 @@ def test_biquad_cascade_matches_sequential():
 
     x = jnp.asarray(np.random.RandomState(1).randn(1, 4000).astype(np.float32))
     stages = design_filters(44100, "K-weighting")
-    y_seq = x
-    for (b, a), g in stages:
-        y_seq = g * biquad(y_seq, jnp.asarray(b), jnp.asarray(a))
-    y_casc = biquad_cascade(
-        x, [(jnp.asarray(b), jnp.asarray(a), g) for (b, a), g in stages]
-    )
+
+    @jax.jit  # the sample recursion is a lax.scan — eager would step in Python
+    def seq(x):
+        y = x
+        for (b, a), g in stages:
+            y = g * biquad(y, jnp.asarray(b), jnp.asarray(a))
+        return y
+
+    y_seq = seq(x)
+    y_casc = jax.jit(
+        lambda x: biquad_cascade(
+            x, [(jnp.asarray(b), jnp.asarray(a), g) for (b, a), g in stages]
+        )
+    )(x)
     assert np.abs(np.asarray(y_seq - y_casc)).max() < 1e-6
 
 
