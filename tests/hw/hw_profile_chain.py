@@ -24,6 +24,11 @@ from audiotools_tpu.ops.benchmark import device_time
 
 DURATION, SR, B = 5.0, 44100, 64
 
+# bench configuration: the 512-tap Pallas fast meter (bench.py:59) — the
+# exact-IIR meter would otherwise dominate every loudness-crossing stage
+# and misattribute the chain profile
+L.set_fast_meter(True)
+
 print("platform:", jax.devices()[0].platform, flush=True)
 
 root = Path(tempfile.mkdtemp())
