@@ -577,11 +577,24 @@ def encode(audio: np.ndarray) -> bytes:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode an ``encode`` bitstream back to mono float32 8 kHz audio."""
+    """Decode an ``encode`` bitstream back to mono float32 8 kHz audio.
+
+    Raises ``ValueError`` on a bad magic, a truncated payload, or a
+    header sample count inconsistent with the payload size (so corrupt
+    files fail cleanly instead of crashing mid-frame or over-allocating).
+    """
     if data[:4] != _MAGIC:
         raise ValueError("not an ATNB bitstream")
+    if len(data) < 8:
+        raise ValueError("truncated ATNB header")
     n = int(np.frombuffer(data[4:8], dtype=np.uint32)[0])
     n_frames = -(-n // FRAME) if n else 0
+    need = (n_frames * FRAME_BITS + 7) // 8
+    if len(data) - 8 < need:
+        raise ValueError(
+            f"truncated ATNB payload: header promises {n_frames} frames "
+            f"({need} bytes), got {len(data) - 8}"
+        )
     br = _BitReader(data[8:])
     st = _DecoderState()
     out = np.empty(n_frames * FRAME)

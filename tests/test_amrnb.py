@@ -100,6 +100,16 @@ def test_bitstream_deterministic_and_decoder_independent():
     assert np.array_equal(amrnb.decode(b1), amrnb.decode(bytes(b1)))
     with pytest.raises(ValueError):
         amrnb.decode(b"JUNK" + b1[4:])
+    # truncated payload / header fail cleanly, not mid-frame
+    with pytest.raises(ValueError):
+        amrnb.decode(b1[: len(b1) // 2])
+    with pytest.raises(ValueError):
+        amrnb.decode(b1[:6])
+    # bit-flips decode to SOMETHING (codecs are lossy, not brittle)
+    corrupt = bytearray(b1)
+    corrupt[20] ^= 0xFF
+    y = amrnb.decode(bytes(corrupt))
+    assert np.isfinite(y).all()
 
 
 def test_roundtrip_multichannel():
