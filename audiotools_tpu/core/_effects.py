@@ -319,27 +319,14 @@ class EffectMixin:
             self.audio_data = jnp.asarray(np.stack(out))
             return self
         if fmt == "gsm":
-            # GSM 06.10 full-rate through libgsm: the codec is defined at
-            # 8 kHz mono frames, so the round trip is resample-down,
-            # code each channel, resample-up — the same telephone-channel
-            # simulation the reference gets from sox's gsm format
-            # (effects.py:370-384).
+            # GSM 06.10 full-rate through libgsm — the same
+            # telephone-channel simulation the reference gets from sox's
+            # gsm format (effects.py:370-384).
             from ..io import codecs
 
             if not codecs.gsm_available():
                 raise RuntimeError("GSM codec library not available")
-            orig_sr, T = self.sample_rate, self.signal_length
-            self.resample(8000)
-            host = np.asarray(self.audio_data)
-            out = np.stack(
-                [codecs.gsm_roundtrip(host[i]) for i in range(self.batch_size)]
-            )
-            self.audio_data = jnp.asarray(out)
-            self.resample(orig_sr)
-            if self.signal_length < T:
-                self.zero_pad(0, T - self.signal_length)
-            self.truncate_samples(T)
-            return self
+            return self._telephone_codec_roundtrip(codecs.gsm_roundtrip)
         if fmt in ("vorbis", "ogg"):
             # Vorbis is granulepos-aligned: the decode is sample-accurate
             # with no codec delay, so no realignment is needed.
@@ -370,29 +357,33 @@ class EffectMixin:
             return self
         if fmt == "amr-nb":
             # AMR-NB-class ACELP codec, implemented in this package
-            # (io/amrnb.py): 8 kHz mono like GSM, so the round trip is
-            # resample-down, code per channel, resample-up — the same
-            # telephone-channel simulation the reference gets from
-            # torchaudio's amr-nb path (effects.py:370-384).
+            # (io/amrnb.py) — the same telephone-channel simulation the
+            # reference gets from torchaudio's amr-nb path
+            # (effects.py:370-384).
             from ..io import amrnb
 
-            orig_sr, T = self.sample_rate, self.signal_length
-            self.resample(8000)
-            host = np.asarray(self.audio_data)
-            out = np.stack(
-                [amrnb.amrnb_roundtrip(host[i]) for i in range(self.batch_size)]
-            )
-            self.audio_data = jnp.asarray(out)
-            self.resample(orig_sr)
-            if self.signal_length < T:
-                self.zero_pad(0, T - self.signal_length)
-            self.truncate_samples(T)
-            return self
+            return self._telephone_codec_roundtrip(amrnb.amrnb_roundtrip)
         raise RuntimeError(
             f"Codec format '{fmt}' requires external codec libraries that "
             "are not available; native support: wav (PCM/ULAW), mp3, "
             "ogg/vorbis, gsm, amr-nb."
         )
+
+    def _telephone_codec_roundtrip(self, roundtrip):
+        """Shared scaffolding for 8 kHz mono telephone codecs (GSM-FR,
+        AMR-NB): resample down, run the per-item host ``roundtrip`` on a
+        single device->host transfer, resample back, and restore the
+        original length."""
+        orig_sr, T = self.sample_rate, self.signal_length
+        self.resample(8000)
+        host = np.asarray(self.audio_data)
+        out = np.stack([roundtrip(host[i]) for i in range(self.batch_size)])
+        self.audio_data = jnp.asarray(out)
+        self.resample(orig_sr)
+        if self.signal_length < T:
+            self.zero_pad(0, T - self.signal_length)
+        self.truncate_samples(T)
+        return self
 
     def mel_filterbank(self, n_bands: int):
         """Split into mel bands, last axis indexes bands

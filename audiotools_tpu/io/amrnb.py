@@ -450,18 +450,18 @@ def _encode_frame(speech, st: _EncoderState, bw: _BitWriter):
         lo, hi = max(PIT_MIN, best_ol - 5), min(PIT_MAX, best_ol + 5)
         best = (-np.inf, lo, 0, None, None)  # score, lag, frac, v, y1
         for lag in range(lo, hi + 1):
-            s, v, y1 = _score(lag, 0)
-            if s > best[0]:
-                best = (s, lag, 0, v, y1)
+            score, v, y1 = _score(lag, 0)
+            if score > best[0]:
+                best = (score, lag, 0, v, y1)
         t0 = best[1]
         for lag, frac in (
             (t0 - 1, 1), (t0 - 1, 2), (t0, 1), (t0, 2)
         ):
             if lag < PIT_MIN or lag > PIT_MAX:
                 continue
-            s, v, y1 = _score(lag, frac)
-            if s > best[0]:
-                best = (s, lag, frac, v, y1)
+            score, v, y1 = _score(lag, frac)
+            if score > best[0]:
+                best = (score, lag, frac, v, y1)
         _, lag, frac, v_adapt, y1 = best
         gp = float(np.clip(np.dot(x, y1) / (np.dot(y1, y1) + 1e-9), 0.0, GP_MAX))
         gp_idx, gp_q = _quant_gp(gp)
@@ -552,7 +552,7 @@ def _decode_frame(br: _BitReader, st: _DecoderState):
 
 
 def bitrate() -> float:
-    """Coded bitrate in bits/s (13.1 kbit/s — the 12.2-mode class)."""
+    """Coded bitrate in bits/s (13.5 kbit/s — the 12.2-mode class)."""
     return FRAME_BITS / (FRAME / SR)
 
 

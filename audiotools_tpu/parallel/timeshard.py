@@ -44,7 +44,15 @@ __all__ = [
 ]
 
 
-@functools.lru_cache(maxsize=None)
+# Builders are keyed on exact geometry (signal length included), so a
+# variable-length workload creates one entry per distinct length — the
+# caches are bounded so a long-running service recompiles rarely instead
+# of growing without limit. _jit is sized above the builders' total so a
+# live raw program never loses its jitted wrapper first.
+_CACHE_SIZE = 32
+
+
+@functools.lru_cache(maxsize=8 * _CACHE_SIZE)
 def _jit(fn):
     """One jitted wrapper per cached raw shard_map program (keyed on the
     function object, which the lru_cached builders make canonical)."""
@@ -76,7 +84,7 @@ def _halo_from_right(block: jnp.ndarray, halo: int, axis_name: str):
     return recv
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=_CACHE_SIZE)
 def _fir_conv_raw(K: int, ndim: int, mesh: Mesh, axis_name: str):
     from ..ops.filters import causal_fft_conv1d
 
@@ -104,11 +112,17 @@ def sharded_fir_conv(
     ppermute halo exchange; each shard then runs an ordinary local conv.
     """
     kernel = jnp.asarray(kernel, dtype=jnp.float32)
-    raw = _fir_conv_raw(kernel.shape[-1], x.ndim, mesh, axis_name)
+    K = kernel.shape[-1]
+    if K == 1:
+        # degenerate FIR = pure gain; the halo path would slice
+        # block[..., -0:] (the WHOLE shard) and emit a doubled-length,
+        # wrong-valued output
+        return x * kernel[..., 0]
+    raw = _fir_conv_raw(K, x.ndim, mesh, axis_name)
     return _jit(raw)(x, kernel)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=_CACHE_SIZE)
 def _resample_raw(
     old: int,
     new: int,
@@ -205,7 +219,7 @@ def sharded_resample(
     return out.reshape(batch_shape + (out.shape[-1],))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=_CACHE_SIZE)
 def _frames_raw(
     frame_length: int,
     hop_length: int,
@@ -293,7 +307,7 @@ def _stft_geometry(T, n_dev, window_length, hop_length):
     return cpad, T_shard, nf_local, n_valid, right
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=_CACHE_SIZE)
 def _stft_raw(
     window_length: int,
     hop_length: int,
@@ -397,7 +411,7 @@ def sharded_stft(
     return _jit(raw)(x), n_valid
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=_CACHE_SIZE)
 def _istft_raw(
     window_length: int,
     hop_length: int,
@@ -532,7 +546,7 @@ def sharded_istft(
     return _jit(raw)(spec, jnp.asarray(n_valid, dtype=jnp.int32))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=_CACHE_SIZE)
 def _loudness_raw(
     rate: int,
     C: int,

@@ -36,6 +36,18 @@ def test_sharded_fir_conv_matches_local():
     assert np.abs(y_sh - y_ref).max() < 1e-4
 
 
+def test_sharded_fir_conv_length_one_kernel():
+    """K=1 is a pure gain: the halo path would slice block[..., -0:]
+    (the whole shard) and emit a doubled-length output — regression for
+    the degenerate-kernel guard."""
+    mesh = make_mesh({"sp": 8})
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 1, 8 * 64).astype(np.float32))
+    h = jnp.asarray(np.array([0.5], np.float32))
+    y = np.asarray(sharded_fir_conv(x, h, mesh))
+    assert y.shape == x.shape
+    assert np.allclose(y, 0.5 * np.asarray(x))
+
+
 def test_sharded_fir_conv_jits_with_sharded_input():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
