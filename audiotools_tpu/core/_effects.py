@@ -362,22 +362,29 @@ class EffectMixin:
             # (effects.py:370-384).
             from ..io import amrnb
 
-            return self._telephone_codec_roundtrip(amrnb.amrnb_roundtrip)
+            return self._telephone_codec_roundtrip(
+                amrnb.amrnb_roundtrip, batch_roundtrip=amrnb.amrnb_roundtrip_batch
+            )
         raise RuntimeError(
             f"Codec format '{fmt}' requires external codec libraries that "
             "are not available; native support: wav (PCM/ULAW), mp3, "
             "ogg/vorbis, gsm, amr-nb."
         )
 
-    def _telephone_codec_roundtrip(self, roundtrip):
+    def _telephone_codec_roundtrip(self, roundtrip, batch_roundtrip=None):
         """Shared scaffolding for 8 kHz mono telephone codecs (GSM-FR,
-        AMR-NB): resample down, run the per-item host ``roundtrip`` on a
-        single device->host transfer, resample back, and restore the
-        original length."""
+        AMR-NB): resample down, run the host ``roundtrip`` on a single
+        device->host transfer, resample back, and restore the original
+        length. A codec that can process the whole (B, C, T) batch in
+        one lockstep pass supplies ``batch_roundtrip`` (the in-package
+        ACELP coder); C-library codecs (libgsm) stay per-item."""
         orig_sr, T = self.sample_rate, self.signal_length
         self.resample(8000)
         host = np.asarray(self.audio_data)
-        out = np.stack([roundtrip(host[i]) for i in range(self.batch_size)])
+        if batch_roundtrip is not None:
+            out = batch_roundtrip(host)
+        else:
+            out = np.stack([roundtrip(host[i]) for i in range(self.batch_size)])
         self.audio_data = jnp.asarray(out)
         self.resample(orig_sr)
         if self.signal_length < T:

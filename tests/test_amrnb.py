@@ -140,3 +140,32 @@ def test_apply_codec_amrnb_preset():
     )
     assert np.corrcoef(ref[: len(a)], a)[0, 1] > 0.6
     assert np.abs(a - x).max() > 1e-3  # codec actually altered the audio
+
+
+def test_batch_matches_scalar():
+    """The lockstep batch coder IS the scalar coder (N=1 delegation),
+    and a mixed batch produces per-item-identical bitstreams and audio:
+    items in a batch cannot influence each other."""
+    items = np.stack(
+        [
+            _voiced(0.5),
+            _voiced(0.5, f0=180.0),
+            0.3 * np.sin(2 * np.pi * 220 * np.arange(4000) / 8000),
+            np.zeros(4000),
+        ]
+    ).astype(np.float32)
+    streams = amrnb.encode_batch(items)
+    for i in range(len(items)):
+        assert streams[i] == amrnb.encode(items[i]), f"item {i}"
+    batch_out = amrnb.decode_batch(streams)
+    for i in range(len(items)):
+        assert np.array_equal(batch_out[i], amrnb.decode(streams[i])), f"item {i}"
+
+
+def test_batch_input_validation():
+    with pytest.raises(ValueError):
+        amrnb.encode_batch(np.zeros((2, 3, 4)))
+    with pytest.raises(ValueError):  # mismatched lengths in one batch
+        amrnb.decode_batch([amrnb.encode(np.zeros(160)), amrnb.encode(np.zeros(320))])
+    assert amrnb.decode_batch([]).shape == (0, 0)
+    assert amrnb.decode_batch([amrnb.encode(np.zeros(0))]).shape == (1, 0)
