@@ -55,9 +55,13 @@ def _parse_header(f) -> WavInfo:
         cid, size = struct.unpack("<4sI", hdr)
         if cid == b"ds64":
             body = f.read(size + (size & 1))
+            if len(body) < 16:
+                raise ValueError("Malformed WAV: truncated ds64 chunk")
             rf64_data_size = struct.unpack("<Q", body[8:16])[0]
         elif cid == b"fmt ":
             body = f.read(size + (size & 1))
+            if len(body) < 16:
+                raise ValueError("Malformed WAV: fmt chunk too small")
             (tag, nch, sr, _byte_rate, block_align, bits) = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -74,7 +78,11 @@ def _parse_header(f) -> WavInfo:
             f.seek(size + (size & 1), 1)
     if fmt is None or data_offset is None:
         raise ValueError("Malformed WAV: missing fmt or data chunk")
+    if data_size is None:  # RF64 data chunk without a ds64 size
+        raise ValueError("Malformed WAV: RF64 data size missing")
     tag, nch, sr, block_align, bits = fmt
+    if nch == 0 or sr == 0:
+        raise ValueError("Malformed WAV: zero channels or sample rate")
     if block_align == 0:
         block_align = nch * (bits // 8)
     num_frames = data_size // block_align if block_align else 0
@@ -137,6 +145,10 @@ def read_wav(path, offset: float = 0.0, duration: float = None, dtype=np.float32
         info = _parse_header(f)
         bytes_per_samp = info.bits_per_sample // 8
         frame_bytes = bytes_per_samp * info.num_channels
+        if frame_bytes == 0:
+            raise ValueError(
+                f"Unsupported sub-byte sample width: {info.bits_per_sample}"
+            )
 
         start_frame = int(round(offset * info.sample_rate)) if offset else 0
         start_frame = min(start_frame, info.num_frames)

@@ -235,6 +235,7 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
     for (int i = 0; i < block_size; ++i) out[i] = br.read_signed(bps);
   } else if ((type & 0x38) == 0x08 && (type & 0x07) <= 4) {  // FIXED
     int order = type & 0x07;
+    if (order > block_size) return false;  // corrupt: warmup would overflow
     for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
     if (!decode_residual(br, order, block_size, out)) return false;
     for (int i = order; i < block_size; ++i) {
@@ -252,6 +253,7 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
     }
   } else if (type & 0x20) {  // LPC
     int order = (int)(type & 0x1f) + 1;
+    if (order > block_size) return false;  // corrupt: warmup would overflow
     for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
     uint32_t prec = (uint32_t)br.read_bits(4);
     if (prec == 15) return false;

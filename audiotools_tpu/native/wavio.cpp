@@ -48,10 +48,15 @@ bool parse_header(FILE* f, WavInfo* info) {
     uint32_t size;
     memcpy(&size, hdr + 4, 4);
     if (memcmp(hdr, "ds64", 4) == 0) {
+      // a valid ds64 is 28 bytes; need at least the 16 covering riff+data
+      // sizes, and reject absurd sizes before allocating
+      if (size < 16 || size > (1u << 20)) return false;
       std::vector<char> body(size + (size & 1));
       if (fread(body.data(), 1, body.size(), f) != body.size()) return false;
       memcpy(&rf64_size, body.data() + 8, 8);
     } else if (memcmp(hdr, "fmt ", 4) == 0) {
+      // PCM fmt is 16 bytes minimum; fields below read offsets 0..15
+      if (size < 16 || size > (1u << 20)) return false;
       std::vector<char> body(size + (size & 1));
       if (fread(body.data(), 1, body.size(), f) != body.size()) return false;
       uint16_t tag;
@@ -95,10 +100,12 @@ void decode_to_float(const uint8_t* raw, int64_t frames, int channels,
     if (format == 3 && bits == 32) {
       const float* src = reinterpret_cast<const float*>(raw) + c;
       for (int64_t t = 0; t < frames; ++t) dst[t] = src[t * channels];
-    } else if (format == 3) {  // float64
+    } else if (format == 3 && bits == 64) {  // float64
       const double* src = reinterpret_cast<const double*>(raw) + c;
       for (int64_t t = 0; t < frames; ++t)
         dst[t] = static_cast<float>(src[t * channels]);
+    } else if (format == 3) {  // float at a width we don't decode
+      for (int64_t t = 0; t < frames; ++t) dst[t] = 0.0f;
     } else if (bits == 16) {
       const int16_t* src = reinterpret_cast<const int16_t*>(raw) + c;
       for (int64_t t = 0; t < frames; ++t) dst[t] = src[t * channels] * i16s;
@@ -137,7 +144,12 @@ int64_t read_one(const char* path, int64_t start_frame, int64_t n_frames,
     fclose(f);
     return -2;
   }
+  if (info.channels * (info.bits / 8) == 0) {  // sub-byte widths: no frames
+    fclose(f);
+    return -1;
+  }
   int64_t avail = static_cast<int64_t>(info.num_frames);
+  if (start_frame < 0) start_frame = 0;
   if (start_frame > avail) start_frame = avail;
   if (n_frames < 0 || start_frame + n_frames > avail)
     n_frames = avail - start_frame;
