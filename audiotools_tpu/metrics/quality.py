@@ -1,9 +1,13 @@
 """Quality metrics (mirror of
 `/root/reference/audiotools/metrics/quality.py`).
 
-STOI is implemented natively (the reference wraps ``pystoi``, which is not
-available here); PESQ and ViSQOL require external C/C++ libraries and are
-exposed as gated wrappers that use them when installed.
+STOI is implemented natively (the reference wraps ``pystoi``, which is
+not available here) in two forms: the host float64 reference loop
+(``stoi``, matching the reference's per-item wrapper shape) and a
+batched jitted device path (``stoi_device``, see ``ops/stoi.py``) that
+the reference has no equivalent of. PESQ and ViSQOL require external
+C/C++ libraries and are exposed as gated wrappers that use them when
+installed.
 """
 import os
 
@@ -11,7 +15,7 @@ import numpy as np
 
 from ..core import AudioSignal
 
-__all__ = ["stoi", "pesq", "visqol"]
+__all__ = ["stoi", "stoi_device", "pesq", "visqol"]
 
 # --- native STOI (Taal et al. 2010/2011) -----------------------------------
 
@@ -26,17 +30,12 @@ _DYN_RANGE = 40.0
 
 
 def _thirdoct(fs, nfft, num_bands, min_freq):
-    f = np.linspace(0, fs, nfft + 1)[: nfft // 2 + 1]
-    k = np.arange(num_bands)
-    cf = 2.0 ** (k / 3.0) * min_freq
-    freq_low = min_freq * 2.0 ** ((2 * k - 1) / 6.0)
-    freq_high = min_freq * 2.0 ** ((2 * k + 1) / 6.0)
-    obm = np.zeros((num_bands, len(f)))
-    for i in range(num_bands):
-        lo = np.argmin((f - freq_low[i]) ** 2)
-        hi = np.argmin((f - freq_high[i]) ** 2)
-        obm[i, lo:hi] = 1
-    return obm, cf
+    # shared table with the device path (0/1 selection matrix, so the
+    # float32 storage there is exact in float64 math here)
+    from ..ops.stoi import thirdoct
+
+    obm, cf = thirdoct(fs, nfft, num_bands, min_freq)
+    return obm.astype(np.float64), cf
 
 
 def _stft_frames(x):
@@ -125,6 +124,26 @@ def stoi(
         )
         stois.append(_stoi)
     return jnp.asarray(np.array(stois))
+
+
+def stoi_device(
+    estimates: AudioSignal,
+    references: AudioSignal,
+    extended: bool = False,
+):
+    """Batched STOI as one jitted device program — no per-item host
+    loop (the reference's pystoi wrapper, quality.py:9-61, is host-only
+    and sequential). Matches ``stoi`` to float32 precision; returns one
+    score per batch item."""
+    from ..ops import stoi as _ops_stoi
+
+    estimates = estimates.clone().to_mono().resample(_ops_stoi.FS)
+    references = references.clone().to_mono().resample(_ops_stoi.FS)
+    return _ops_stoi.stoi_batch(
+        references.audio_data[:, 0, :],
+        estimates.audio_data[:, 0, :],
+        extended=extended,
+    )
 
 
 def pesq(

@@ -137,3 +137,45 @@ def test_pesq_visqol_gated():
     if not has_visqol:
         with pytest.raises(RuntimeError):
             metrics.quality.visqol(x, y)
+
+
+def test_stoi_device_matches_host():
+    """The jitted batched device STOI reproduces the host float64 loop
+    to float32 precision across SNRs, including a pair quiet enough to
+    trigger silent-frame removal, and the extended variant."""
+    from audiotools_tpu.ops import stoi as ops_stoi
+
+    items = []
+    for seed, snr in ((0, 25.0), (1, 10.0), (2, 0.0)):
+        clean = speech_like(seed, 2.0)
+        noise = np.random.RandomState(100 + seed).randn(len(clean)).astype(
+            np.float32
+        )
+        scale = 10 ** (-snr / 20) * np.abs(clean).std() / noise.std()
+        items.append((clean + noise * scale, clean))
+    # one item with long silent stretches: exercises frame removal
+    gated = speech_like(3, 2.0).copy()
+    gated[: len(gated) // 3] = 0.0
+    gated[-len(gated) // 4 :] = 0.0
+    items.append((gated, gated))
+
+    est = AudioSignal(np.stack([e for e, _ in items])[:, None, :], 44100)
+    ref = AudioSignal(np.stack([r for _, r in items])[:, None, :], 44100)
+
+    for extended in (False, True):
+        host = np.asarray(
+            metrics.quality.stoi(est.clone(), ref.clone(), extended=extended)
+        )
+        dev = np.asarray(
+            metrics.quality.stoi_device(
+                est.clone(), ref.clone(), extended=extended
+            )
+        )
+        assert dev.shape == (len(items),)
+        np.testing.assert_allclose(dev, host, atol=5e-4, rtol=0)
+
+    # too-short input: undefined, NaN on both paths
+    short = AudioSignal(np.zeros((1, 1, 2000), dtype=np.float32), 10000)
+    assert np.isnan(
+        np.asarray(metrics.quality.stoi_device(short.clone(), short.clone()))
+    ).all()
