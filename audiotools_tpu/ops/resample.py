@@ -71,12 +71,18 @@ def resample(
     # julius pads mode='replicate' so constants survive to the very edges
     x = jnp.pad(x, ((0, 0), (0, 0), (width, width + old)), mode="edge")
     # (B, 1, Tp) * (new, 1, W) stride old -> (B, new, n_blocks)
+    # The default TPU conv precision is bf16: ~6e-3 relative error
+    # through the polyphase bank, far above this op's 1e-4 parity
+    # budget (caught by the vocoder-vs-cpu gate in tests/hw/hw_all.py).
+    # HIGH (bf16x3) measures ~3e-5 at 2.3 ms vs HIGHEST's ~4e-7 at
+    # 3.4 ms (b64 x 5 s, v5e) — HIGH clears the budget with margin.
     y = jax.lax.conv_general_dilated(
         x,
         jnp.asarray(kernels)[:, None, :],
         window_strides=(old,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGH,
     )
     # interleave phases: out[p*new + i] = y[:, i, p]
     y = jnp.swapaxes(y, -1, -2).reshape((x.shape[0], -1))

@@ -163,6 +163,9 @@ def _resample_raw(
             window_strides=(old,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
+            # bf16x3, as in ops.resample (TPU conv default is bf16:
+            # ~6e-3 error through the polyphase bank; HIGH is ~3e-5)
+            precision=jax.lax.Precision.HIGH,
         )
         y = jnp.swapaxes(y, -1, -2).reshape((block.shape[0], -1))
         return y[..., : T_shard * new // old]

@@ -82,5 +82,47 @@ e_ref = np.asarray(jax.jit(eq_bands)(x3))
 e_new = np.asarray(jax.jit(lambda a: FL.equalizer(a, db, SR))(x3))
 check("equalizer-telescoped", np.abs(e_ref - e_new).max() / (np.abs(e_ref).max() + 1e-9), 1e-5)
 
+# 5. vocoder transforms on-chip vs the CPU backend (same float32 code;
+# catches TPU-only lowering/precision regressions in the most
+# precision-sensitive chain members — phase accumulates over ~430
+# frames, so a bad analysis pass shows up as a large relative error)
+from audiotools_tpu.ops import stretch as ST
+
+try:
+    _cpu = jax.local_devices(backend="cpu")[0]
+except RuntimeError:
+    _cpu = None
+if _cpu is None:
+    print("SKIP vocoder-vs-cpu (no cpu backend)", flush=True)
+else:
+    xs = x3[:2, :, : 2 * SR]
+    xs_np = np.asarray(xs)
+    for name, fn in [
+        ("pitch-shift-vs-cpu", lambda a: ST.pitch_shift(a, 4.0, SR)),
+        ("time-stretch-vs-cpu", lambda a: ST.time_stretch(a, 0.8)),
+    ]:
+        y_tpu = np.asarray(jax.jit(fn)(xs))
+        with jax.default_device(_cpu):
+            y_cpu = np.asarray(jax.jit(fn)(jnp.asarray(xs_np)))
+        # observed ~3e-3 (phase-accumulation noise); this gate caught
+        # the resampler's silent bf16 conv default (8.4e-2) — keep the
+        # tolerance tight enough to re-catch that class of bug
+        err = np.abs(y_tpu - y_cpu).max() / (np.abs(y_cpu).max() + 1e-9)
+        check(name, err, 1e-2)
+
+# 6. device STOI vs its CPU-backend values (band envelopes + masked
+# gating survive the TPU lowering)
+if _cpu is not None:
+    from audiotools_tpu.ops import stoi as S
+
+    ref10 = np.asarray(x[:8, : 2 * 10000])
+    est10 = ref10 + 0.05 * rng.randn(*ref10.shape).astype(np.float32)
+    s_tpu = np.asarray(S.stoi_batch(jnp.asarray(ref10), jnp.asarray(est10)))
+    with jax.default_device(_cpu):
+        s_cpu = np.asarray(
+            S.stoi_batch(jnp.asarray(ref10), jnp.asarray(est10))
+        )
+    check("stoi-vs-cpu", np.abs(s_tpu - s_cpu).max(), 1e-4)
+
 print(("ALL PASS" if not failures else f"FAILURES: {failures}"), flush=True)
 sys.exit(1 if failures else 0)
