@@ -104,8 +104,6 @@ _EXC_LEN = PIT_MAX + SUBFRAME
 _LAG_WINDOW = np.exp(-0.5 * (2 * np.pi * 60.0 * np.arange(ORDER + 1) / SR) ** 2)
 _LP_HAMMING = np.hamming(FRAME + 80)
 
-_ROWS = None  # lazily sized np.arange(N)[:, None] caches are not worth it
-
 
 def _interp_taps(frac):
     """8-tap windowed-sinc interpolator for a ``frac``/3-sample

@@ -53,6 +53,11 @@ def _parse_header(f) -> WavInfo:
         if len(hdr) < 8:
             break
         cid, size = struct.unpack("<4sI", hdr)
+        # cap metadata chunks before buffering them: a hostile size field
+        # must not make f.read() swallow the rest of a multi-GB file
+        # (mirrors the 1 MB cap in native/wavio.cpp::parse_header)
+        if cid in (b"ds64", b"fmt ") and size > (1 << 20):
+            raise ValueError(f"Malformed WAV: {cid.decode()} chunk size {size}")
         if cid == b"ds64":
             body = f.read(size + (size & 1))
             if len(body) < 16:

@@ -87,16 +87,21 @@ bool parse_header(FILE* f, WavInfo* info) {
   return true;
 }
 
-// Decode interleaved raw samples into planar float32 (C, T).
+// Decode interleaved raw samples into planar float32 (C, out_stride),
+// zero-padding each channel's tail when frames < out_stride. The stride
+// is the CALLER's buffer width (requested frames), not the decoded
+// count — writing at the decoded count would misplace channels 1+ on a
+// short read and leave uninitialized tails.
 // Per-format strided loops so the compiler auto-vectorizes the common
 // PCM16/float32 paths.
-void decode_to_float(const uint8_t* raw, int64_t frames, int channels,
-                     int bits, int format, float* out /* (C, T) */) {
+void decode_to_float(const uint8_t* raw, int64_t frames, int64_t out_stride,
+                     int channels, int bits, int format,
+                     float* out /* (C, out_stride) */) {
   const float i16s = 1.0f / 32768.0f;
   const float i24s = 1.0f / 8388608.0f;
   const float i32s = 1.0f / 2147483648.0f;
   for (int c = 0; c < channels; ++c) {
-    float* dst = out + static_cast<int64_t>(c) * frames;
+    float* dst = out + static_cast<int64_t>(c) * out_stride;
     if (format == 3 && bits == 32) {
       const float* src = reinterpret_cast<const float*>(raw) + c;
       for (int64_t t = 0; t < frames; ++t) dst[t] = src[t * channels];
@@ -128,6 +133,9 @@ void decode_to_float(const uint8_t* raw, int64_t frames, int channels,
     } else {
       for (int64_t t = 0; t < frames; ++t) dst[t] = 0.0f;
     }
+    if (frames < out_stride)
+      memset(dst + frames, 0,
+             sizeof(float) * static_cast<size_t>(out_stride - frames));
   }
 }
 
@@ -151,8 +159,12 @@ int64_t read_one(const char* path, int64_t start_frame, int64_t n_frames,
   int64_t avail = static_cast<int64_t>(info.num_frames);
   if (start_frame < 0) start_frame = 0;
   if (start_frame > avail) start_frame = avail;
+  // out is (channels, n_frames) planar for any non-negative request —
+  // even when the file holds fewer frames (the tail is zero-filled)
+  int64_t out_stride = n_frames;
   if (n_frames < 0 || start_frame + n_frames > avail)
     n_frames = avail - start_frame;
+  if (out_stride < 0) out_stride = n_frames;
   uint32_t frame_bytes = info.channels * (info.bits / 8);
   if (fseek(f,
             static_cast<long>(info.data_offset +
@@ -165,8 +177,8 @@ int64_t read_one(const char* path, int64_t start_frame, int64_t n_frames,
   size_t got = fread(raw.data(), 1, raw.size(), f);
   fclose(f);
   int64_t frames = static_cast<int64_t>(got / frame_bytes);
-  decode_to_float(raw.data(), frames, info.channels, info.bits, info.format,
-                  out);
+  decode_to_float(raw.data(), frames, out_stride, info.channels, info.bits,
+                  info.format, out);
   return frames;
 }
 
@@ -210,22 +222,11 @@ int at_wav_read_batch(const char** paths, int32_t n, const int64_t* starts,
   for (int32_t k = 0; k < n_threads; ++k) {
     workers.emplace_back([&, k]() {
       for (int32_t i = k; i < n; i += n_threads) {
+        // read_one writes planar (C, counts[i]) and zero-fills short
+        // reads itself, so the buffer is complete on any got >= 0
         int64_t got = read_one(paths[i], starts[i], counts[i], outs[i],
                                channels[i]);
-        if (got < 0) {
-          status[i] = 1;
-        } else if (got < counts[i]) {
-          // decode wrote planar (C, got); spread into (C, counts) with a
-          // zero-padded tail per channel, moving from the last channel so
-          // memmove never overwrites pending source data
-          for (int c = channels[i] - 1; c >= 0; --c) {
-            float* src = outs[i] + static_cast<int64_t>(c) * got;
-            float* dst = outs[i] + static_cast<int64_t>(c) * counts[i];
-            memmove(dst, src, sizeof(float) * static_cast<size_t>(got));
-            memset(dst + got, 0,
-                   sizeof(float) * static_cast<size_t>(counts[i] - got));
-          }
-        }
+        if (got < 0) status[i] = 1;
       }
     });
   }

@@ -82,6 +82,40 @@ def test_batch_decode_pads_short_reads(wavs):
     assert np.abs(outs[0][0, valid:]).max() == 0
 
 
+def test_truncated_stereo_content_single_read(wavs, tmp_path):
+    """A truncated multichannel file (header promises more frames than the
+    body holds) must decode every channel at the right time offsets with a
+    zeroed tail — regression for the planar-stride bug where read_one wrote
+    at the decoded count while the caller's buffer used the requested
+    count, corrupting channels 1+ and leaking uninitialized memory."""
+    from audiotools_tpu.io.wav import wav_info as py_wav_info
+
+    src, data = wavs["stereo16"]
+    raw = src.read_bytes()
+    hdr = py_wav_info(src).data_offset
+    p = tmp_path / "trunc.wav"
+    # keep the header intact but drop the last 1/3 of the sample bytes
+    total = 22050
+    keep = total * 2 // 3
+    p.write_bytes(raw[: hdr + keep * 2 * 2])
+
+    sr, frames, ch = native.wav_info(p)
+    assert frames == total  # header still claims the full length
+
+    # single read requests all 22050 frames, gets the 14700 that exist;
+    # both channels must hold their true samples (not a misplaced stride)
+    audio, _ = native.read_wav(p)
+    assert audio.shape == (2, keep)
+    np.testing.assert_allclose(audio, data[:, :keep], atol=1.0 / 32768)
+
+    # same file through the batch path
+    outs, _ = native.read_batch([p], offsets=[0.0], durations=[1.0])
+    np.testing.assert_allclose(
+        outs[0][:, :keep], data[:, :keep], atol=1.0 / 32768
+    )
+    assert np.abs(outs[0][:, keep:]).max() == 0
+
+
 def test_batch_decode_error_reports_item(wavs, tmp_path):
     good = wavs["mono16"][0]
     with pytest.raises(ValueError, match="could not parse|item"):
