@@ -66,6 +66,19 @@ def _remove_silent(x, y):
     return xs, ys
 
 
+def _row_col_normalize(Z):
+    """eSTOI's double normalization of a (J, N) segment (Jensen & Taal
+    2016 eq. 3-4 / estoi.m): zero-mean/unit-norm each band's row across
+    the N frames, THEN each frame's column across the J bands. The final
+    column step leaves N unit-norm frame vectors, so the /N in the score
+    makes identical signals score exactly 1."""
+    Z = Z - Z.mean(axis=1, keepdims=True)
+    Z = Z / (np.linalg.norm(Z, axis=1, keepdims=True) + 1e-12)
+    Z = Z - Z.mean(axis=0, keepdims=True)
+    Z = Z / (np.linalg.norm(Z, axis=0, keepdims=True) + 1e-12)
+    return Z
+
+
 def _stoi_single(x, y, extended=False):
     obm, _ = _thirdoct(_FS, _NFFT, _NUMBAND, _MINFREQ)
     x, y = _remove_silent(x, y)
@@ -79,13 +92,13 @@ def _stoi_single(x, y, extended=False):
         Xs = X[:, m - _N : m]
         Ys = Y[:, m - _N : m]
         if extended:
-            Xn = (Xs - Xs.mean(axis=1, keepdims=True)) / (
-                np.linalg.norm(Xs - Xs.mean(axis=1, keepdims=True), axis=1, keepdims=True) + 1e-12
+            # eSTOI (Jensen & Taal 2016): doubly-normalized segments,
+            # inner products averaged over the N frames (the reference
+            # delegates to pystoi's extended branch; its random EPS
+            # dither is replaced by deterministic epsilons)
+            corrs.append(
+                (_row_col_normalize(Xs) * _row_col_normalize(Ys)).sum() / _N
             )
-            Yn = (Ys - Ys.mean(axis=1, keepdims=True)) / (
-                np.linalg.norm(Ys - Ys.mean(axis=1, keepdims=True), axis=1, keepdims=True) + 1e-12
-            )
-            corrs.append((Xn * Yn).sum() / _NUMBAND)
         else:
             alpha = np.linalg.norm(Xs, axis=1, keepdims=True) / (
                 np.linalg.norm(Ys, axis=1, keepdims=True) + 1e-12

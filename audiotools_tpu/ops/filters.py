@@ -205,6 +205,19 @@ def _auto_block(overlap: int, scale: int, lo: int, hi: int) -> int:
     return bs if bs > 2 * overlap else None
 
 
+def _fft_conv_valid(x: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
+    """Per-item-kernel FFT correlation of ``(B, C, Tp)`` signals against
+    ``(B_k, L)`` kernels (``B_k`` broadcasting against ``B``), returning
+    full-convolution indices ``[L-1:]``. The pow2 circular conv's
+    wraparound contaminates only the discarded ``[0, L-1)`` head, so the
+    slice is exact linear convolution."""
+    L = kernels.shape[-1]
+    n = _next_pow2(x.shape[-1])
+    X = jnp.fft.rfft(x, n=n)
+    H = jnp.fft.rfft(kernels[:, None, ::-1], n=n)
+    return jnp.fft.irfft(X * H, n=n)[..., L - 1 :]
+
+
 def low_pass(
     audio: jnp.ndarray, cutoffs: jnp.ndarray, sample_rate: int, zeros: int = 51,
     min_cutoff_hz: float = 40.0, block_size="auto",
@@ -239,11 +252,7 @@ def low_pass(
         y = overlap_save_valid(x, kernels[:, None, :], block_size)
         return y[..., :T]
     # one fft conv per batch item against its own kernel
-    n = _next_pow2(x.shape[-1])
-    X = jnp.fft.rfft(x, n=n)
-    H = jnp.fft.rfft(kernels[:, None, ::-1], n=n)
-    y = jnp.fft.irfft(X * H, n=n)
-    return y[..., L - 1 : L - 1 + T]
+    return _fft_conv_valid(x, kernels)[..., :T]
 
 
 def high_pass(
@@ -386,6 +395,11 @@ def equalizer(
 
         B_, C_, Tp = x.shape
         g = combined[:, ::-1]
+        # a batch-1 EQ curve broadcasts over a batched signal (reference
+        # effects.py:423-427) — materialize it so the per-item-kernel
+        # conv sees one kernel row per signal row
+        if g.shape[0] == 1 and B_ > 1:
+            g = jnp.broadcast_to(g, (B_, g.shape[-1]))
         if C_ > 1:
             g = jnp.repeat(g, C_, axis=0)
         y = fir_conv_causal_batch(
@@ -398,10 +412,7 @@ def equalizer(
         if block is not None:
             y = overlap_save_valid(x, combined[:, None, :], block)
         else:
-            n = _next_pow2(x.shape[-1])
-            X = jnp.fft.rfft(x, n=n)
-            H = jnp.fft.rfft(combined[:, None, ::-1], n=n)
-            y = jnp.fft.irfft(X * H, n=n)[..., L - 1 : L - 1 + T]
+            y = _fft_conv_valid(x, combined)
     return weights[:, -1, None, None] * audio + y[..., :T]
 
 

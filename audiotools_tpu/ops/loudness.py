@@ -9,10 +9,13 @@ Mirrors the reference's tensorized pyloudnorm meter
   (loudness.py:54-100) — on TPU both stages fuse into a single causal FFT
   conv with the composed kernel.
 
-K-weighting coefficients are designed natively from the RBJ biquad formulas
-with pyloudnorm's parameters (high-shelf G=4 dB, Q=1/sqrt(2),
-fc=1681.9744509555319; high-pass Q=0.5, fc=38.13547087613982), replacing the
-reference's import of ``pyloudnorm.Meter._filters`` (loudness.py:253-260).
+K-weighting coefficients are designed natively from the RBJ biquad
+formulas with analog parameters FITTED to BS.1770-4's published 48 kHz
+coefficient table (high-shelf G=3.99979529 dB, Q=0.707315703,
+fc=1500.51207 Hz; high-pass Q=0.50032685, fc=38.13546889 Hz — see
+``design_filters``; the fit reproduces the table to ~2e-5 and scales the
+bilinear design to any sample rate), replacing the reference's import of
+``pyloudnorm.Meter._filters`` (loudness.py:253-260).
 
 Gating follows BS.1770-4 eqs. 4-7 exactly as the reference implements them
 (loudness.py:176-247): 400 ms blocks at 75% overlap (ceil block count with

@@ -42,32 +42,30 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-@functools.lru_cache(maxsize=None)
-def _toeplitz_blocks(h_key):
-    """M[q, c, j] = h[KP + j - (q*128 + c)] (zero out of range).
+@functools.lru_cache(maxsize=16)
+def _toeplitz_blocks(h_bytes):
+    """M[q, c, j] = h[KP + j - (q*128 + c)] (zero out of range), built
+    with the same static gather map as the traced path.
 
     ``KP`` is rounded to 8 blocks (1024) so the per-tile DMA span
     ``S_blk = ROWS + KP // BLK`` stays a multiple of the f32 sublane tile
     (8): an unaligned 94-row span (3723-tap kernel) deterministically
     faulted the TPU runtime, while 72/80/96-row spans are fine.
+
+    Keyed on the raw kernel bytes with a small bound: each entry is up to
+    ~4.3 MB (8192 taps) and distinct kernels are few in practice (meter
+    FIRs, filter banks) — unbounded growth under kernel sweeps is not.
     """
-    h = np.asarray(h_key, dtype=np.float32)
-    K = len(h)
-    KP = _round_up(K - 1, 8 * BLK) if K > 1 else 0
-    W_blk = KP // BLK + 1
-    M = np.zeros((W_blk, BLK, BLK), dtype=np.float32)
-    for q in range(W_blk):
-        for c in range(BLK):
-            m = q * BLK + c
-            # need 0 <= KP + j - m <= K - 1
-            lo = max(0, m - KP)
-            hi = min(BLK, K - KP + m)
-            for j in range(lo, hi):
-                M[q, c, j] = h[KP + j - m]
-    return M, KP, W_blk
+    h = np.frombuffer(h_bytes, dtype=np.float32)
+    idx, KP, W_blk = _toeplitz_gather_indices(len(h))
+    hz = np.append(h, np.float32(0.0))
+    return hz[idx], KP, W_blk
 
 
-def _make_kernel(W_blk, S_blk):
+def _make_kernel(W_blk, S_blk, per_item=False):
+    """One factory for both the shared-kernel and per-item-kernel convs;
+    ``per_item`` selects the (B, W_blk, BLK, BLK) block indexing."""
+
     def _kernel(x_ref, m_ref, o_ref, span, sem):
         b = pl.program_id(0)
         t = pl.program_id(1)
@@ -84,7 +82,7 @@ def _make_kernel(W_blk, S_blk):
             # single-pass matmul costs ~3.6e-3 rel err on hardware
             acc = acc + jax.lax.dot_general(
                 span[pl.ds(q, ROWS), :],
-                m_ref[q, :, :],
+                m_ref[0, q, :, :] if per_item else m_ref[q, :, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -113,7 +111,7 @@ def fir_conv_causal(x: jnp.ndarray, h: np.ndarray, interpret: bool = False):
             f"fir_conv_causal validated only up to {MAX_TAPS} taps on "
             f"hardware (got {len(h)}); use filters.causal_fft_conv1d"
         )
-    M_np, KP, W_blk = _toeplitz_blocks(tuple(h.tolist()))
+    M_np, KP, W_blk = _toeplitz_blocks(h.tobytes())
 
     T = x.shape[-1]
     batch_shape = x.shape[:-1]
@@ -158,31 +156,6 @@ def fir_conv_causal(x: jnp.ndarray, h: np.ndarray, interpret: bool = False):
 
     y = out.reshape(B, T_out)[:, :T]
     return y.reshape(batch_shape + (T,))
-
-
-def _make_batch_kernel(W_blk, S_blk):
-    def _kernel(x_ref, m_ref, o_ref, span, sem):
-        b = pl.program_id(0)
-        t = pl.program_id(1)
-
-        dma = pltpu.make_async_copy(
-            x_ref.at[b, pl.ds(t * ROWS, S_blk), :], span, sem
-        )
-        dma.start()
-        dma.wait()
-
-        acc = jnp.zeros((ROWS, BLK), dtype=jnp.float32)
-        for q in range(W_blk):
-            acc = acc + jax.lax.dot_general(
-                span[pl.ds(q, ROWS), :],
-                m_ref[0, q, :, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        o_ref[0, :, :] = acc
-
-    return _kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -237,7 +210,7 @@ def fir_conv_causal_batch(
     S_blk = ROWS + KP // BLK
 
     out = pl.pallas_call(
-        _make_batch_kernel(W_blk, S_blk),
+        _make_kernel(W_blk, S_blk, per_item=True),
         grid=(B, n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),

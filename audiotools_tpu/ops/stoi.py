@@ -110,11 +110,20 @@ def _stoi_single_device(x, y, extended):
     Xs = jnp.transpose(X[:, pos], (1, 0, 2))  # (n_win, 15, N)
     Ys = jnp.transpose(Y[:, pos], (1, 0, 2))
     if extended:
-        Xn = Xs - Xs.mean(axis=-1, keepdims=True)
-        Xn = Xn / (jnp.linalg.norm(Xn, axis=-1, keepdims=True) + 1e-12)
-        Yn = Ys - Ys.mean(axis=-1, keepdims=True)
-        Yn = Yn / (jnp.linalg.norm(Yn, axis=-1, keepdims=True) + 1e-12)
-        d_win = (Xn * Yn).sum(axis=(-2, -1)) / NUMBAND
+        # eSTOI (Jensen & Taal 2016 eq. 3-6): normalize each band across
+        # the N frames (axis=-1 in this (n_win, 15, N) layout), THEN each
+        # frame across bands (axis=-2), average inner products over the N
+        # frames — the host mirror (metrics/quality.py::
+        # _row_col_normalize) is the float64 oracle for this branch
+
+        def _rcn(Z):
+            Z = Z - Z.mean(axis=-1, keepdims=True)
+            Z = Z / (jnp.linalg.norm(Z, axis=-1, keepdims=True) + 1e-12)
+            Z = Z - Z.mean(axis=-2, keepdims=True)
+            Z = Z / (jnp.linalg.norm(Z, axis=-2, keepdims=True) + 1e-12)
+            return Z
+
+        d_win = (_rcn(Xs) * _rcn(Ys)).sum(axis=(-2, -1)) / N
     else:
         alpha = jnp.linalg.norm(Xs, axis=-1, keepdims=True) / (
             jnp.linalg.norm(Ys, axis=-1, keepdims=True) + 1e-12

@@ -127,7 +127,6 @@ def pitch_shift(
     # (< 0.035 cents). Small denominators mean small polyphase banks
     # (e.g. +/-2 semitones -> 49/55); some intervals need larger ones
     # (e.g. +/-7 semitones, whose best small fraction 2/3 is ~2 cents off).
-    frac = Fraction(rate)
     for cap in (60, 125, 250, 500, 1000, 5000):
         frac = Fraction(rate).limit_denominator(cap)
         if abs(float(frac) - rate) / rate < 2e-5:

@@ -92,3 +92,24 @@ def test_equalizer_pallas_path_matches_fft():
     y_fft = np.asarray(equalizer(x, db, 44100, conv_method="fft"))
     y_pl = np.asarray(equalizer(x, db, 44100, conv_method="pallas_interpret"))
     assert np.abs(y_pl - y_fft).max() / np.abs(y_fft).max() < 1e-4
+
+
+def test_equalizer_pallas_broadcasts_batch1_curve():
+    """A shared EQ curve — db of shape (n_bands,) or (1, n_bands) — over a
+    batched signal must broadcast on the Pallas path exactly as the FFT
+    path does (reference effects.py:423-427 supports this; regression for
+    a TPU-only 'kernel batch != signal batch' crash)."""
+    from audiotools_tpu.ops.filters import equalizer
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(3, 2, 22050).astype(np.float32))
+    for db in (
+        jnp.asarray((rng.rand(6) * 12 - 6).astype(np.float32)),
+        jnp.asarray((rng.rand(1, 6) * 12 - 6).astype(np.float32)),
+    ):
+        y_fft = np.asarray(equalizer(x, db, 44100, conv_method="fft"))
+        y_pl = np.asarray(
+            equalizer(x, db, 44100, conv_method="pallas_interpret")
+        )
+        assert y_pl.shape == x.shape
+        assert np.abs(y_pl - y_fft).max() / np.abs(y_fft).max() < 1e-4

@@ -82,6 +82,24 @@ e_ref = np.asarray(jax.jit(eq_bands)(x3))
 e_new = np.asarray(jax.jit(lambda a: FL.equalizer(a, db, SR))(x3))
 check("equalizer-telescoped", np.abs(e_ref - e_new).max() / (np.abs(e_ref).max() + 1e-9), 1e-5)
 
+# batch-1 EQ curve broadcasting over the batched signal exercises the
+# kernel materialization on the real pallas path (was a TPU-only crash)
+db1 = db[:1]
+e_ref1 = np.asarray(
+    jax.jit(
+        lambda a: jnp.sum(
+            FL.split_bands(a, SR, 6) * (10.0 ** db1)[:, None, None, :],
+            axis=-1,
+        )
+    )(x3)
+)
+e_new1 = np.asarray(jax.jit(lambda a: FL.equalizer(a, db1, SR))(x3))
+check(
+    "equalizer-batch1-broadcast",
+    np.abs(e_ref1 - e_new1).max() / (np.abs(e_ref1).max() + 1e-9),
+    1e-5,
+)
+
 # 5. vocoder transforms on-chip vs the CPU backend (same float32 code;
 # catches TPU-only lowering/precision regressions in the most
 # precision-sensitive chain members — phase accumulates over ~430
@@ -123,6 +141,14 @@ if _cpu is not None:
             S.stoi_batch(jnp.asarray(ref10), jnp.asarray(est10))
         )
     check("stoi-vs-cpu", np.abs(s_tpu - s_cpu).max(), 1e-4)
+    e_tpu = np.asarray(
+        S.stoi_batch(jnp.asarray(ref10), jnp.asarray(est10), extended=True)
+    )
+    with jax.default_device(_cpu):
+        e_cpu = np.asarray(
+            S.stoi_batch(jnp.asarray(ref10), jnp.asarray(est10), extended=True)
+        )
+    check("estoi-vs-cpu", np.abs(e_tpu - e_cpu).max(), 1e-4)
 
 print(("ALL PASS" if not failures else f"FAILURES: {failures}"), flush=True)
 sys.exit(1 if failures else 0)

@@ -119,6 +119,25 @@ def test_stoi_native():
     assert s0 < 0.97
 
 
+def test_estoi_invariants():
+    """Extended STOI (eSTOI, Jensen & Taal 2016): the double row/column
+    normalization plus the /N scaling makes identical signals score
+    exactly 1 (the pre-fix band-only normalization happened to score 1
+    on identity too, but diverged on any real pair — so also pin the
+    noise ordering and that eSTOI penalizes modulated noise at least as
+    hard as STOI at low SNR)."""
+    x20, y = _pair(20.0, dur=3.0)
+    x0, _ = _pair(0.0, dur=3.0)
+    e_clean = float(
+        metrics.quality.stoi(y.clone(), y.clone(), extended=True)[0]
+    )
+    e20 = float(metrics.quality.stoi(x20, y.clone(), extended=True)[0])
+    e0 = float(metrics.quality.stoi(x0, y.clone(), extended=True)[0])
+    assert abs(e_clean - 1.0) < 1e-5
+    assert e_clean >= e20 >= e0
+    assert e0 < 0.9
+
+
 def test_pesq_visqol_gated():
     x, y = _pair()
     try:
