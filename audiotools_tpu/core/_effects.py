@@ -299,10 +299,23 @@ class EffectMixin:
             # one device->host transfer for the whole batch (per-item
             # fetches pay one tunneled round trip each)
             host = np.asarray(self.audio_data)
+            # sox compression semantics for mp3 (what the reference's
+            # torchaudio path forwards, effects.py:366-376): negative =
+            # LAME VBR quality -0..-9.999 (integer part, 9 = worst — the
+            # "MP3" preset's -9 means heavy artifacts), positive = CBR
+            # bitrate in kbps, None = encoder default
+            compression = kwargs.get("compression")
+            enc_kwargs = {}
+            if compression is not None:
+                c = float(compression)
+                if c < 0:
+                    enc_kwargs["vbr_quality"] = min(9, int(-c))
+                else:
+                    enc_kwargs["bitrate"] = max(8, int(round(c)))
             for i in range(self.batch_size):
                 orig = host[i]
                 with tempfile.NamedTemporaryFile(suffix=".mp3") as f:
-                    codecs.write_mp3(f.name, orig, self.sample_rate)
+                    codecs.write_mp3(f.name, orig, self.sample_rate, **enc_kwargs)
                     dec, _ = codecs.read_mp3(f.name)
                 # lame+mpg123 introduce a codec delay; align by
                 # cross-correlation and trim it so the augmentation is
@@ -340,7 +353,10 @@ class EffectMixin:
             # VBR quality (effects.py:366-376; presets use -1 = lowest
             # quality, heavy artifacts). libvorbisenc quality is the same
             # scale divided by 10, clamped to its [-0.1, 1.0] range.
-            compression = kwargs.get("compression", 3.0)
+            # No preset leaves compression=None in kwargs -> sox default 3.
+            compression = kwargs.get("compression")
+            if compression is None:
+                compression = 3.0
             quality = float(np.clip(compression / 10.0, -0.1, 1.0))
             out = []
             T = self.signal_length

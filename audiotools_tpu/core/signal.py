@@ -154,6 +154,15 @@ class AudioSignal(
             self.sample_rate,
             self.stft_params,
             self.original_signal_length,
+            # windowing bookkeeping set by collect_windows: static ints
+            # derived from shapes, so they belong in aux (a change means
+            # different downstream shapes — retracing is correct) and
+            # must survive a jit boundary for overlap_and_add to work
+            (
+                self._original_batch_size,
+                self._original_num_channels,
+                self._padded_signal_length,
+            ),
             _MetaBox(
                 {
                     "metadata": self.metadata,
@@ -166,7 +175,7 @@ class AudioSignal(
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        mask, sample_rate, stft_params, original_signal_length, box = aux
+        mask, sample_rate, stft_params, original_signal_length, win, box = aux
         obj = cls.__new__(cls)
         it = iter(leaves)
         for attr, present in zip(("_audio_data", "_stft_data", "_loudness"), mask):
@@ -174,6 +183,11 @@ class AudioSignal(
         obj.sample_rate = sample_rate
         obj._stft_params = stft_params
         obj.original_signal_length = original_signal_length
+        (
+            obj._original_batch_size,
+            obj._original_num_channels,
+            obj._padded_signal_length,
+        ) = win
         obj.metadata = box.value.get("metadata", {})
         obj.path_to_file = box.value.get("path_to_file")
         obj.sources = box.value.get("sources")
@@ -521,7 +535,7 @@ class AudioSignal(
     @audio_data.setter
     def audio_data(self, data):
         if data is not None:
-            if not isinstance(data, jnp.ndarray) or isinstance(data, np.ndarray):
+            if not isinstance(data, jnp.ndarray):
                 data = jnp.asarray(data)
             assert data.ndim == 3, "audio_data should be 3-dim (B, C, T)"
         self._audio_data = data
@@ -538,7 +552,7 @@ class AudioSignal(
     @stft_data.setter
     def stft_data(self, data):
         if data is not None:
-            if not isinstance(data, jnp.ndarray) or isinstance(data, np.ndarray):
+            if not isinstance(data, jnp.ndarray):
                 data = jnp.asarray(data)
             assert jnp.iscomplexobj(data), "stft_data must be complex"
             if self._stft_data is not None and self._stft_data.shape != data.shape:
@@ -855,16 +869,21 @@ class AudioSignal(
     # ------------------------------------------------------------------
 
     def __eq__(self, other):
+        def host(a):
+            # complex device arrays can't cross the axon tunnel in one
+            # piece (UNIMPLEMENTED) — fetch real/imag planes separately
+            if jnp.iscomplexobj(a):
+                return np.asarray(a.real) + 1j * np.asarray(a.imag)
+            return np.asarray(a)
+
         for k, v in list(self.__dict__.items()):
             if isinstance(v, jnp.ndarray):
                 ov = other.__dict__[k]
-                if ov is None or not np.allclose(
-                    np.asarray(v), np.asarray(ov), atol=1e-6
-                ):
+                if ov is None or not np.allclose(host(v), host(ov), atol=1e-6):
                     max_error = (
                         float("inf")
                         if ov is None
-                        else np.abs(np.asarray(v) - np.asarray(ov)).max()
+                        else np.abs(host(v) - host(ov)).max()
                     )
                     print(f"Max abs error for {k}: {max_error}")
                     return False
@@ -963,6 +982,10 @@ class AudioSignal(
                     if_true._stft_data,
                     if_false._stft_data,
                 )
+            else:
+                # shapes disagree: a per-item select is impossible and
+                # keeping if_true's cache would misrepresent the mix
+                out._stft_data = None
         else:
             out._stft_data = None
         if if_true._loudness is not None and if_false._loudness is not None:

@@ -165,8 +165,20 @@ def read_mp3(path, offset: float = 0.0, duration: float = None):
     return np.ascontiguousarray(data[:, start:end]), sr
 
 
-def write_mp3(path, data: np.ndarray, sample_rate: int, bitrate: int = 192):
-    """Encode ``(C, T)`` float audio to MP3 (mono or stereo)."""
+def write_mp3(
+    path,
+    data: np.ndarray,
+    sample_rate: int,
+    bitrate: int = 192,
+    vbr_quality: int = None,
+):
+    """Encode ``(C, T)`` float audio to MP3 (mono or stereo).
+
+    ``vbr_quality`` (0 best .. 9 worst) switches LAME to VBR mode and
+    overrides ``bitrate`` — the knob sox exposes as a negative
+    compression factor, which the "MP3" codec preset relies on for its
+    heavy-artifact simulation (reference effects.py:14-25).
+    """
     lib = _get_lame()
     if lib is None:
         raise RuntimeError("libmp3lame not available")
@@ -180,9 +192,17 @@ def write_mp3(path, data: np.ndarray, sample_rate: int, bitrate: int = 192):
     gf = ctypes.c_void_p(lib.lame_init())
     try:
         lib.lame_set_in_samplerate(gf, sample_rate)
+        # pin the output rate (sox does the same): at low VBR quality
+        # LAME otherwise auto-downsamples (q9 @ 44.1k silently emits a
+        # 22.05k stream), changing the decoded length and rate
+        lib.lame_set_out_samplerate(gf, sample_rate)
         lib.lame_set_num_channels(gf, C)
         lib.lame_set_quality(gf, 2)
-        lib.lame_set_brate(gf, bitrate)
+        if vbr_quality is not None:
+            lib.lame_set_VBR(gf, 4)  # vbr_mtrh, LAME's default VBR mode
+            lib.lame_set_VBR_q(gf, int(np.clip(vbr_quality, 0, 9)))
+        else:
+            lib.lame_set_brate(gf, bitrate)
         if lib.lame_init_params(gf) < 0:
             raise RuntimeError("lame_init_params failed")
 

@@ -276,3 +276,27 @@ def test_audio_data_setter_resets_loudness():
     assert sig._loudness is not None
     sig.audio_data = sig.audio_data * 0.5
     assert sig._loudness is None
+
+
+def test_where_drops_mismatched_stft_cache():
+    """where() can only keep a cached STFT it can per-item select; with
+    different stft shapes on the two sides the cache must be dropped,
+    not inherited from if_true (regression: stale spectrogram silently
+    inconsistent with the mixed audio)."""
+    a = _rand_signal(seed=1, shape=(2, 1, 44100))
+    b = _rand_signal(seed=2, shape=(2, 1, 44100))
+    a.stft(window_length=512, hop_length=128)
+    b.stft(window_length=256, hop_length=64)
+    out = type(a).where(np.array([True, False]), a, b)
+    assert out._stft_data is None
+    # matching shapes still select per item
+    b2 = _rand_signal(seed=3, shape=(2, 1, 44100))
+    b2.stft(window_length=512, hop_length=128)
+    out2 = type(a).where(np.array([True, False]), a, b2)
+    assert out2._stft_data is not None
+    assert np.allclose(
+        np.asarray(out2._stft_data[0]), np.asarray(a._stft_data[0])
+    )
+    assert np.allclose(
+        np.asarray(out2._stft_data[1]), np.asarray(b2._stft_data[1])
+    )

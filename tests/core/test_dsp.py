@@ -24,6 +24,21 @@ def test_collect_windows_overlap_add_identity():
         assert np.allclose(recon[..., :n], original[..., :n], rtol=1e-3, atol=1e-5)
 
 
+def test_collect_windows_survives_jit_boundary():
+    """The windowing bookkeeping (original batch/channels, padded length)
+    rides the pytree aux data, so collect_windows under jit +
+    overlap_and_add outside still reconstructs — regression for the
+    state reverting to class-level None across tree_unflatten."""
+    import jax
+
+    sig = _speech()
+    original = sig.numpy()
+    windowed = jax.jit(lambda s: s.collect_windows(0.1, 0.05))(sig)
+    recon = windowed.overlap_and_add(0.05).numpy()
+    n = min(recon.shape[-1], original.shape[-1])
+    assert np.allclose(recon[..., :n], original[..., :n], rtol=1e-3, atol=1e-5)
+
+
 def test_windows_generator():
     sig = _speech()
     wins = list(sig.clone().windows(0.5, 0.25))

@@ -128,6 +128,37 @@ def test_apply_codec_vorbis_preset():
         assert not np.allclose(out.numpy(), sig.numpy())
 
 
+@mp3
+def test_apply_codec_no_preset_defaults():
+    """format= without a preset leaves compression=None; both lossy
+    branches must fall back to encoder defaults instead of crashing
+    (regression: kwargs.get('compression', 3.0) never saw the default
+    because the key was present with None)."""
+    sig = AudioSignal(speech_like(5, 1.0)[None, None], 44100)
+    fmts = ["mp3"]
+    if codecs.vorbis_available() and codecs.vorbis_encode_available():
+        fmts.append("ogg")
+    for fmt in fmts:
+        out = sig.clone().apply_codec(format=fmt)
+        assert out.shape == sig.shape
+        c = np.corrcoef(out.numpy()[0, 0], sig.numpy()[0, 0])[0, 1]
+        assert c > 0.95, fmt
+
+
+@mp3
+def test_mp3_preset_degrades_more_than_default():
+    """The 'MP3' preset (sox compression -9 -> LAME VBR quality 9) must
+    produce audibly heavier artifacts than the default 192 kbps CBR —
+    regression for the preset's compression being silently ignored."""
+    sig = AudioSignal(speech_like(6, 1.0)[None, None], 44100)
+    ref = sig.numpy()
+    default = sig.clone().apply_codec(format="mp3").numpy()
+    preset = sig.clone().apply_codec(preset="MP3").numpy()
+    err_default = np.abs(default - ref).mean()
+    err_preset = np.abs(preset - ref).mean()
+    assert err_preset > 1.5 * err_default, (err_preset, err_default)
+
+
 def test_gsm_roundtrip_correlates():
     """GSM 06.10 via libgsm: decoded 8 kHz audio stays highly correlated
     with the input (it's a 13 kbps speech codec, not transparent)."""
