@@ -5,9 +5,12 @@ STOI is implemented natively (the reference wraps ``pystoi``, which is
 not available here) in two forms: the host float64 reference loop
 (``stoi``, matching the reference's per-item wrapper shape) and a
 batched jitted device path (``stoi_device``, see ``ops/stoi.py``) that
-the reference has no equivalent of. PESQ and ViSQOL require external
-C/C++ libraries and are exposed as gated wrappers that use them when
-installed.
+the reference has no equivalent of. PESQ runs natively too: a full
+P.862-architecture implementation (``_pesq.py``) backs ``pesq`` whenever
+the ITU-wrapping ``pesq`` C extension is absent, so the metric works in
+any environment (the reference's wrapper simply crashes without the
+lib). ViSQOL still requires Google's C++ library and remains a gated
+wrapper.
 """
 import os
 
@@ -164,30 +167,55 @@ def pesq(
     references: AudioSignal,
     mode: str = "wb",
     target_sr: float = 16000,
+    backend: str = "auto",
 ):
-    """PESQ (P.862.2 MOS-LQO) via the ``pesq`` C extension when installed
-    (reference quality.py:64-102)."""
-    try:
-        from pesq import pesq as pesq_fn
-    except ImportError as e:
-        raise RuntimeError(
-            "PESQ requires the `pesq` C extension, which is not installed "
-            "in this environment."
-        ) from e
+    """PESQ MOS-LQO (reference quality.py:64-102).
 
+    ``backend``:
+
+    - ``"auto"`` (default): the ITU-wrapping ``pesq`` C extension when
+      installed, else the in-package P.862-architecture implementation.
+    - ``"itu"``: require the C extension (bit-certified P.862 numbers).
+    - ``"native"``: force the in-package implementation
+      (:mod:`audiotools_tpu.metrics._pesq`) — same pipeline and output
+      range as P.862/P.862.2 but re-derived tables, so scores can differ
+      from the ITU tool by a few tenths of a MOS point.
+
+    ``target_sr`` is honored for the ITU backend (it accepts 8 or
+    16 kHz for nb); the native backend resamples to each mode's defining
+    rate (nb: 8 kHz, wb: 16 kHz).
+    """
     import jax.numpy as jnp
+
+    pesq_fn = None
+    if backend in ("auto", "itu"):
+        try:
+            from pesq import pesq as pesq_fn
+        except ImportError as e:
+            if backend == "itu":
+                raise RuntimeError(
+                    "backend='itu' requires the `pesq` C extension, which "
+                    "is not installed in this environment."
+                ) from e
+    elif backend != "native":
+        raise ValueError(f"backend must be auto/itu/native, got {backend!r}")
+
+    if pesq_fn is None:
+        from ._pesq import _MODES, pesq_native
+
+        target_sr = _MODES[mode].fs
 
     estimates = estimates.clone().to_mono().resample(target_sr)
     references = references.clone().to_mono().resample(target_sr)
 
     pesqs = []
     for i in range(estimates.batch_size):
-        _pesq = pesq_fn(
-            estimates.sample_rate,
-            np.asarray(references.audio_data[i, 0]),
-            np.asarray(estimates.audio_data[i, 0]),
-            mode,
-        )
+        ref_i = np.asarray(references.audio_data[i, 0], dtype=np.float64)
+        est_i = np.asarray(estimates.audio_data[i, 0], dtype=np.float64)
+        if pesq_fn is not None:
+            _pesq = pesq_fn(estimates.sample_rate, ref_i, est_i, mode)
+        else:
+            _pesq = pesq_native(ref_i, est_i, int(estimates.sample_rate), mode)
         pesqs.append(_pesq)
     return jnp.asarray(np.array(pesqs))
 

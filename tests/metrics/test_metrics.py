@@ -146,8 +146,14 @@ def test_pesq_visqol_gated():
     except ImportError:
         has_pesq = False
     if not has_pesq:
+        # backend='itu' demands the C extension...
         with pytest.raises(RuntimeError):
-            metrics.quality.pesq(x, y)
+            metrics.quality.pesq(x, y, backend="itu")
+        # ...but the default backend falls back to the native P.862
+        # implementation and returns an in-range score
+        out = np.asarray(metrics.quality.pesq(x, y))
+        assert out.shape == (x.batch_size,)
+        assert np.all((out >= 1.0) & (out <= 5.0))
     try:
         import visqol  # noqa
         has_visqol = True

@@ -132,8 +132,10 @@ def test_wrappers_raise_cleanly_without_libs():
     try:
         import pesq  # noqa: F401
     except ImportError:
+        # the default backend now falls back to the native P.862
+        # implementation; only an explicit backend='itu' demands the lib
         with pytest.raises(RuntimeError, match="pesq"):
-            quality.pesq(est, ref)
+            quality.pesq(est, ref, backend="itu")
     try:
         import visqol  # noqa: F401
     except ImportError:
