@@ -9,8 +9,9 @@ the reference has no equivalent of. PESQ runs natively too: a full
 P.862-architecture implementation (``_pesq.py``) backs ``pesq`` whenever
 the ITU-wrapping ``pesq`` C extension is absent, so the metric works in
 any environment (the reference's wrapper simply crashes without the
-lib). ViSQOL still requires Google's C++ library and remains a gated
-wrapper.
+lib). ViSQOL uses Google's C++ library when installed and otherwise
+falls back to an in-package device NSIM backend (``ops/nsim.py``) —
+ViSQOL's similarity core as one batched jitted program.
 """
 import os
 
@@ -224,19 +225,54 @@ def visqol(
     estimates: AudioSignal,
     references: AudioSignal,
     mode: str = "audio",
+    backend: str = "auto",
 ):
-    """ViSQOL MOS-LQO via Google's C++ library when installed
-    (reference quality.py:105-159)."""
-    try:
-        from visqol import visqol_lib_py
-        from visqol.pb2 import visqol_config_pb2
-    except ImportError as e:
-        raise RuntimeError(
-            "ViSQOL requires google/visqol, which is not installed in this "
-            "environment."
-        ) from e
+    """ViSQOL MOS-LQO (reference quality.py:105-159).
 
+    ``backend``:
+
+    - ``"auto"`` (default): Google's C++ ViSQOL library when installed,
+      else the in-package device NSIM backend.
+    - ``"google"``: require the C++ library (certified ViSQOL numbers).
+    - ``"nsim"``: force the in-package backend
+      (:mod:`audiotools_tpu.ops.nsim`) — ViSQOL's NSIM similarity core
+      over gammatone spectrograms as one batched jitted program, mapped
+      to the ViSQOL output range by a calibrated monotone curve instead
+      of the (offline-unavailable) trained SVR/lattice models. Scores
+      rank degradations like ViSQOL but are not certified MOS-LQO.
+    """
     import jax.numpy as jnp
+
+    if backend not in ("auto", "google", "nsim"):
+        raise ValueError(f"backend must be auto/google/nsim, got {backend!r}")
+    if backend in ("auto", "google"):
+        try:
+            from visqol import visqol_lib_py
+            from visqol.pb2 import visqol_config_pb2
+        except ImportError as e:
+            if backend == "google":
+                raise RuntimeError(
+                    "backend='google' requires google/visqol, which is not "
+                    "installed in this environment."
+                ) from e
+            backend = "nsim"
+        else:
+            backend = "google"
+
+    if backend == "nsim":
+        from ..ops import nsim as _nsim
+
+        if mode not in _nsim.MODES:
+            raise ValueError(f"Unrecognized mode: {mode}")
+        target_sr = _nsim.MODES[mode]["fs"]
+        estimates = estimates.clone().to_mono().resample(target_sr)
+        references = references.clone().to_mono().resample(target_sr)
+        scores = _nsim.nsim_batch(
+            references.audio_data[:, 0, :],
+            estimates.audio_data[:, 0, :],
+            mode=mode,
+        )
+        return _nsim.nsim_to_moslqo(scores)
 
     config = visqol_config_pb2.VisqolConfig()
     if mode == "audio":

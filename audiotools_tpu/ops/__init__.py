@@ -7,5 +7,6 @@ feature extraction + losses) compile into single XLA programs.
 from . import fft
 from . import filters
 from . import loudness
+from . import nsim
 from . import resample
 from . import stretch

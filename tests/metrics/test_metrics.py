@@ -161,7 +161,11 @@ def test_pesq_visqol_gated():
         has_visqol = False
     if not has_visqol:
         with pytest.raises(RuntimeError):
-            metrics.quality.visqol(x, y)
+            metrics.quality.visqol(x, y, backend="google")
+        # the default backend falls back to the in-package device NSIM
+        out = np.asarray(metrics.quality.visqol(x, y))
+        assert out.shape == (x.batch_size,)
+        assert np.all((out >= 1.0) & (out <= 5.0))
 
 
 def test_stoi_device_matches_host():

@@ -139,5 +139,7 @@ def test_wrappers_raise_cleanly_without_libs():
     try:
         import visqol  # noqa: F401
     except ImportError:
+        # same pattern: only backend='google' demands the C++ library,
+        # the default falls back to the in-package NSIM backend
         with pytest.raises(RuntimeError, match="visqol|ViSQOL"):
-            quality.visqol(est, ref)
+            quality.visqol(est, ref, backend="google")
