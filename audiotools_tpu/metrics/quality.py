@@ -19,7 +19,7 @@ import numpy as np
 
 from ..core import AudioSignal
 
-__all__ = ["stoi", "stoi_device", "pesq", "visqol"]
+__all__ = ["stoi", "stoi_device", "pesq", "pesq_device", "visqol"]
 
 # --- native STOI (Taal et al. 2010/2011) -----------------------------------
 
@@ -219,6 +219,33 @@ def pesq(
             _pesq = pesq_native(ref_i, est_i, int(estimates.sample_rate), mode)
         pesqs.append(_pesq)
     return jnp.asarray(np.array(pesqs))
+
+
+def pesq_device(
+    estimates: AudioSignal,
+    references: AudioSignal,
+    mode: str = "wb",
+):
+    """Batched PESQ as one jitted device program — no per-item host loop
+    (the reference's ``pesq`` wrapper, quality.py:64-102, is host-only
+    and sequential; this repo's ``pesq`` host mirror too). Runs the
+    P.862-architecture pipeline of :mod:`audiotools_tpu.metrics._pesq`
+    on device (see :mod:`audiotools_tpu.ops.pesq`); matches
+    ``pesq(..., backend="native")`` to float32 precision for zero-delay
+    pairs. Returns one MOS-LQO estimate per batch item."""
+    from ..ops import pesq as _ops_pesq
+    from ._pesq import _MODES
+
+    if mode not in _MODES:
+        raise ValueError(f"mode must be 'nb' or 'wb', got {mode!r}")
+    target_sr = _MODES[mode].fs
+    estimates = estimates.clone().to_mono().resample(target_sr)
+    references = references.clone().to_mono().resample(target_sr)
+    return _ops_pesq.pesq_batch(
+        references.audio_data[:, 0, :],
+        estimates.audio_data[:, 0, :],
+        mode=mode,
+    )
 
 
 def visqol(

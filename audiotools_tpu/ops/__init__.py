@@ -8,5 +8,7 @@ from . import fft
 from . import filters
 from . import loudness
 from . import nsim
+from . import pesq
 from . import resample
+from . import stoi
 from . import stretch

@@ -150,5 +150,32 @@ if _cpu is not None:
         )
     check("estoi-vs-cpu", np.abs(e_tpu - e_cpu).max(), 1e-4)
 
+# 7. device PESQ and NSIM vs their CPU-backend values (full-signal FFT
+# filters, delay search argmaxes, Bark/gammatone matmuls survive TPU)
+if _cpu is not None:
+    from audiotools_tpu.ops import nsim as NS
+    from audiotools_tpu.ops import pesq as P
+
+    ref16 = np.asarray(x[:8, : 2 * 16000])
+    est16 = ref16 + 0.03 * rng.randn(*ref16.shape).astype(np.float32)
+    p_tpu = np.asarray(P.pesq_batch(jnp.asarray(ref16), jnp.asarray(est16)))
+    with jax.default_device(_cpu):
+        p_cpu = np.asarray(
+            P.pesq_batch(jnp.asarray(ref16), jnp.asarray(est16))
+        )
+    # the +-2 ms fine-delay argmax can tie-break differently across
+    # platforms; on aligned pairs it lands on 0 both sides, so the gate
+    # is tight in MOS units
+    check("pesq-vs-cpu", np.abs(p_tpu - p_cpu).max(), 5e-3)
+
+    n_tpu = np.asarray(
+        NS.nsim_batch(jnp.asarray(ref16), jnp.asarray(est16), mode="speech")
+    )
+    with jax.default_device(_cpu):
+        n_cpu = np.asarray(
+            NS.nsim_batch(jnp.asarray(ref16), jnp.asarray(est16), mode="speech")
+        )
+    check("nsim-vs-cpu", np.abs(n_tpu - n_cpu).max(), 1e-3)
+
 print(("ALL PASS" if not failures else f"FAILURES: {failures}"), flush=True)
 sys.exit(1 if failures else 0)
