@@ -130,15 +130,17 @@ def _nsim_map(r, d):
     return lum * struct
 
 
-def _shifted_nsim(r, d, shift, n_frames):
+def _shifted_nsim(r, d, w_base, shift, n_frames):
     """Reference-energy-weighted mean NSIM with the degraded spectrogram
-    shifted by ``shift`` frames (static), masking the frames that fall
-    off either edge."""
+    shifted by ``shift`` frames (traced), masking the frames that fall
+    off either edge. ``w_base`` is the shift-independent
+    ``sqrt(local reference intensity)`` weight map, hoisted by the
+    caller."""
     d_s = jnp.roll(d, shift, axis=2)
     idx = jnp.arange(n_frames)
-    valid = (idx >= max(shift, 0)) & (idx < n_frames + min(shift, 0))
+    valid = (idx >= jnp.maximum(shift, 0)) & (idx < n_frames + jnp.minimum(shift, 0))
     cell = _nsim_map(r, d_s)
-    w = jnp.sqrt(_local_stats(r)) * valid.astype(cell.dtype)[None, None, :]
+    w = w_base * valid.astype(cell.dtype)[None, None, :]
     return (cell * w).sum(axis=(1, 2)) / (w.sum(axis=(1, 2)) + 1e-9)
 
 
@@ -156,8 +158,14 @@ def nsim_batch(references, estimates, mode: str = "speech"):
 
     n_frames = R.shape[2]
     max_shift = min(int(_MAX_SHIFT_S * m["fs"] / m["hop"]), max(n_frames // 2 - 1, 0))
-    shifts = list(range(-max_shift, max_shift + 1)) or [0]
-    cands = jnp.stack([_shifted_nsim(R, D, s, n_frames) for s in shifts])
+    shifts = jnp.arange(-max_shift, max_shift + 1)
+    # lax.map compiles the per-shift body ONCE (an unrolled Python loop
+    # over the ~60 candidate shifts dominated compile time) and keeps
+    # peak memory at one cell map instead of all shifts at once
+    w_base = jnp.sqrt(_local_stats(R))
+    cands = jax.lax.map(
+        lambda s: _shifted_nsim(R, D, w_base, s, n_frames), shifts
+    )
     return cands.max(axis=0)
 
 

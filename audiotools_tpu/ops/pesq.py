@@ -147,7 +147,7 @@ def _fine_delay(x, y, coarse, fs):
     T = x.shape[-1]
     span = int(0.002 * fs)
     step = max(span // 16, 1)
-    offsets = np.arange(-span, span + 1, step)
+    offsets = jnp.arange(-span, span + 1, step)
     r = jnp.abs(x)
     d = jnp.abs(y)
     idx = jnp.arange(T)
@@ -159,8 +159,9 @@ def _fine_delay(x, y, coarse, fs):
         mf = m.astype(r.dtype)
         return jnp.dot(r * mf, d_s) / (jnp.sum(mf) + 1e-9)
 
-    vals = jnp.stack([score(int(o)) for o in offsets])
-    return coarse + jnp.asarray(offsets)[jnp.argmax(vals)]
+    # one compiled body for the ~33-lag grid instead of an unrolled loop
+    vals = jax.vmap(score)(offsets)
+    return coarse + offsets[jnp.argmax(vals)]
 
 
 def _smooth_gain(g):
