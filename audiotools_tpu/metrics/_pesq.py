@@ -97,6 +97,12 @@ _D_SYM_SCALE = 0.1
 _D_ASYM_SCALE = 0.06
 _ZWICKER_P = 0.23
 _LOUDNESS_SCALE = 0.1
+# subtractive-loss weight: the sym/asym disturbances respond weakly to
+# outright signal loss (their scales are calibrated on additive ladders
+# and the Zwicker compression flattens a band-kill), so the fraction of
+# audible reference loudness with no degraded counterpart is scored
+# directly — 1.0 for a silent degraded signal, ~0 for additive noise
+_D_LOSS_SCALE = 3.5
 
 
 # --------------------------------------------------------------------------
@@ -168,13 +174,24 @@ def _estimate_delay(ref, deg, fs):
     if n < 8:
         return 0
     corr = np.correlate(ed[:n], er[:n], mode="full")
-    coarse = (int(np.argmax(corr)) - (n - 1)) * win
+    # ties (a flat correlation — e.g. a silent or constant degraded
+    # signal) resolve to the lag nearest zero, not np.argmax's extreme
+    # negative pick which would trim away almost the whole signal
+    lags = np.arange(-(n - 1), n)
+    tol = 1e-9 * max(float(np.abs(corr).max()), 1.0)
+    tied = np.flatnonzero(corr >= corr.max() - tol)
+    coarse = int(lags[tied[np.argmin(np.abs(lags[tied]))]]) * win
 
     span = int(0.002 * fs)
     best, best_v = coarse, -np.inf
     r = np.abs(ref)
     d = np.abs(deg)
-    for lag in range(coarse - span, coarse + span + 1, max(span // 16, 1)):
+    # visit lags nearest the coarse estimate first so exact ties keep it
+    fine_lags = sorted(
+        range(coarse - span, coarse + span + 1, max(span // 16, 1)),
+        key=lambda l: (abs(l - coarse), l),
+    )
+    for lag in fine_lags:
         if lag >= 0:
             a, b = r[: len(d) - lag if lag else None], d[lag:]
         else:
@@ -288,6 +305,13 @@ def _pesq_core(ref, deg, mode):
     d_frame = _lp(disturb, wb, p=2.0, axis=1)
     da_frame = np.sum(np.abs(disturb * h) * wb, axis=1) / np.sum(wb)
 
+    # subtractive-loss channel (see _D_LOSS_SCALE): per active frame, the
+    # fraction of reference loudness that simply went missing; cubed so
+    # partial spectral tilts barely register but a band-kill saturates
+    loss_num = np.sum(wb * np.maximum(L_ref - L_deg, 0.0), axis=1)
+    loss_den = np.sum(wb * L_ref, axis=1) + 1e-12
+    d_loss = float(np.mean((loss_num / loss_den)[active] ** 3))
+
     # emphasize audible frames: weight by the frame's reference energy
     # with a soft floor so silence neither dominates nor vanishes
     wf = ((frame_pow + 1e5) / 1e7) ** 0.04
@@ -302,7 +326,7 @@ def _pesq_core(ref, deg, mode):
         d6 = (np.mean(d.reshape(-1, chunk) ** 6.0, axis=1)) ** (1.0 / 6.0)
         return float(np.sqrt(np.mean(d6**2.0)))
 
-    return aggregate(d_frame), aggregate(da_frame)
+    return aggregate(d_frame), aggregate(da_frame), d_loss
 
 
 # --------------------------------------------------------------------------
@@ -343,6 +367,11 @@ def pesq_native(ref: np.ndarray, deg: np.ndarray, fs: int, mode: str = "wb") -> 
     delay = _estimate_delay(ref, deg, m.fs)
     ref, deg = _apply_delay(ref, deg, delay)
 
-    d_sym, d_asym = _pesq_core(ref, deg, m)
-    raw = 4.5 - _D_SYM_SCALE * d_sym - _D_ASYM_SCALE * d_asym
+    d_sym, d_asym, d_loss = _pesq_core(ref, deg, m)
+    raw = (
+        4.5
+        - _D_SYM_SCALE * d_sym
+        - _D_ASYM_SCALE * d_asym
+        - _D_LOSS_SCALE * d_loss
+    )
     return float(_mos_map(raw, mode))

@@ -200,6 +200,8 @@ def pesq(
                 ) from e
     elif backend != "native":
         raise ValueError(f"backend must be auto/itu/native, got {backend!r}")
+    if mode not in ("nb", "wb"):
+        raise ValueError(f"mode must be 'nb' or 'wb', got {mode!r}")
 
     if pesq_fn is None:
         from ._pesq import _MODES, pesq_native

@@ -118,11 +118,13 @@ def _local_stats(img):
     return conv1(conv1(img, 1), 2)
 
 
-def _nsim_map(r, d):
-    """Per-cell NSIM between two [0,1] spectrogram images (B, K, F)."""
-    mu_r = _local_stats(r)
+def _nsim_map(r, d, mu_r, var_r):
+    """Per-cell NSIM between two [0,1] spectrogram images (B, K, F).
+    ``mu_r``/``var_r`` are the reference's local statistics, hoisted by
+    the caller: they are shift-independent, so computing them once
+    instead of per candidate shift removes 2 of the 5 separable conv
+    stacks from the alignment sweep's hot loop."""
     mu_d = _local_stats(d)
-    var_r = jnp.maximum(_local_stats(r * r) - mu_r**2, 0.0)
     var_d = jnp.maximum(_local_stats(d * d) - mu_d**2, 0.0)
     cov = _local_stats(r * d) - mu_r * mu_d
     lum = (2.0 * mu_r * mu_d + _C1) / (mu_r**2 + mu_d**2 + _C1)
@@ -130,16 +132,15 @@ def _nsim_map(r, d):
     return lum * struct
 
 
-def _shifted_nsim(r, d, w_base, shift, n_frames):
+def _shifted_nsim(r, d, mu_r, var_r, w_base, shift, n_frames):
     """Reference-energy-weighted mean NSIM with the degraded spectrogram
     shifted by ``shift`` frames (traced), masking the frames that fall
-    off either edge. ``w_base`` is the shift-independent
-    ``sqrt(local reference intensity)`` weight map, hoisted by the
-    caller."""
+    off either edge. ``mu_r``/``var_r``/``w_base`` are the
+    shift-independent reference statistics, hoisted by the caller."""
     d_s = jnp.roll(d, shift, axis=2)
     idx = jnp.arange(n_frames)
     valid = (idx >= jnp.maximum(shift, 0)) & (idx < n_frames + jnp.minimum(shift, 0))
-    cell = _nsim_map(r, d_s)
+    cell = _nsim_map(r, d_s, mu_r, var_r)
     w = w_base * valid.astype(cell.dtype)[None, None, :]
     return (cell * w).sum(axis=(1, 2)) / (w.sum(axis=(1, 2)) + 1e-9)
 
@@ -148,8 +149,20 @@ def _shifted_nsim(r, d, w_base, shift, n_frames):
 def nsim_batch(references, estimates, mode: str = "speech"):
     """Mean NSIM per batch item between ``(B, T)`` reference and degraded
     signals already at the mode's sample rate. Returns ``(B,)`` scores in
-    (0, 1], 1.0 for identical signals."""
+    (0, 1], 1.0 for identical signals. Length-mismatched pairs are
+    trimmed to the shorter signal (the shift search absorbs offsets)."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {sorted(MODES)}, got {mode!r}")
     m = MODES[mode]
+    if references.shape[-1] != estimates.shape[-1]:
+        T = min(references.shape[-1], estimates.shape[-1])
+        references = references[..., :T]
+        estimates = estimates[..., :T]
+    if references.shape[-1] < m["frame"]:
+        raise ValueError(
+            f"signals too short for NSIM (need >= {m['frame']} samples — "
+            f"one {mode!r}-mode frame)"
+        )
     S_r = _spectrogram(references, mode)
     S_d = _spectrogram(estimates, mode)
     ref_peak = 10.0 * jnp.log10(S_r.max(axis=(1, 2)) + 1e-20)
@@ -162,9 +175,11 @@ def nsim_batch(references, estimates, mode: str = "speech"):
     # lax.map compiles the per-shift body ONCE (an unrolled Python loop
     # over the ~60 candidate shifts dominated compile time) and keeps
     # peak memory at one cell map instead of all shifts at once
-    w_base = jnp.sqrt(_local_stats(R))
+    mu_r = _local_stats(R)
+    var_r = jnp.maximum(_local_stats(R * R) - mu_r**2, 0.0)
+    w_base = jnp.sqrt(mu_r)
     cands = jax.lax.map(
-        lambda s: _shifted_nsim(R, D, w_base, s, n_frames), shifts
+        lambda s: _shifted_nsim(R, D, mu_r, var_r, w_base, s, n_frames), shifts
     )
     return cands.max(axis=0)
 

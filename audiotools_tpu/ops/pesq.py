@@ -101,9 +101,9 @@ def _mode_tables(mode: str, n_fft: int):
         abs_thresh=m.abs_thresh.astype(np.float32),
         band_widths=m.band_widths_bark.astype(np.float32),
         spl0=np.float32(host._SPL0),
-        win_pow=None,  # filled lazily below (depends only on frame)
         d_sym=np.float32(host._D_SYM_SCALE),
         d_asym=np.float32(host._D_ASYM_SCALE),
+        d_loss=np.float32(host._D_LOSS_SCALE),
         zwicker_p=np.float32(host._ZWICKER_P),
         loud_scale=np.float32(host._LOUDNESS_SCALE),
     )
@@ -138,7 +138,15 @@ def _coarse_delay(x, y, win):
     )  # c[l] = sum_i ey[i + l] ex[i], negative lags wrapped to the top
     lags = np.concatenate([np.arange(nE), np.arange(-(nE - 1), 0)])
     vals = jnp.concatenate([c[:nE], c[M - (nE - 1) :]])
-    return jnp.asarray(lags)[jnp.argmax(vals)]
+    # tie-break exactly like the host (_pesq.py): among near-equal
+    # maxima (flat correlation — silent/constant degraded signal) pick
+    # the lag nearest zero, negative lag first on |lag| ties
+    lags_j = jnp.asarray(lags)
+    tol = 1e-9 * jnp.maximum(jnp.abs(vals).max(), 1.0)
+    tied = vals >= vals.max() - tol
+    key = jnp.abs(lags_j) * 2 + (lags_j > 0)
+    key = jnp.where(tied, key, jnp.iinfo(jnp.int32).max)
+    return lags_j[jnp.argmin(key)]
 
 
 def _fine_delay(x, y, coarse, fs):
@@ -147,7 +155,10 @@ def _fine_delay(x, y, coarse, fs):
     T = x.shape[-1]
     span = int(0.002 * fs)
     step = max(span // 16, 1)
-    offsets = jnp.arange(-span, span + 1, step)
+    # grid ordered nearest-first so argmax's first-max tie rule matches
+    # the host's strict-improvement visit order (_pesq.py fine search)
+    off_np = np.arange(-span, span + 1, step)
+    offsets = jnp.asarray(off_np[np.lexsort((off_np, np.abs(off_np)))])
     r = jnp.abs(x)
     d = jnp.abs(y)
     idx = jnp.arange(T)
@@ -285,10 +296,19 @@ def _pesq_single(x, y, mode, T):
     d_frame = jnp.minimum(d_frame / wf, 45.0) * vmask
     da_frame = jnp.minimum(da_frame / wf, 45.0) * vmask
 
+    # subtractive-loss channel (host _pesq.py _D_LOSS_SCALE): fraction
+    # of audible reference loudness with no degraded counterpart,
+    # cubed and averaged over the active frames
+    loss = jnp.sum(wb * jnp.maximum(L_ref - L_deg, 0.0), axis=1) / (
+        jnp.sum(wb * L_ref, axis=1) + 1e-12
+    )
+    d_loss = jnp.sum(active * loss**3) / (jnp.sum(active) + 1e-9)
+
     raw = (
         4.5
         - tab["d_sym"] * _aggregate(d_frame, nv)
         - tab["d_asym"] * _aggregate(da_frame, nv)
+        - tab["d_loss"] * d_loss
     )
     if mode == "wb":
         return 0.999 + 4.999 / (1.0 + jnp.exp(-1.338 * raw + 5.035))
@@ -301,9 +321,16 @@ def pesq_batch(references, estimates, mode: str = "wb"):
     at the mode's sample rate (nb: 8 kHz, wb: 16 kHz). Returns ``(B,)``.
 
     Each item is level-aligned, receive-filtered, delay-aligned and
-    scored independently (one ``vmap`` over the P.862 pipeline)."""
+    scored independently (one ``vmap`` over the P.862 pipeline).
+    Length-mismatched pairs are trimmed to the shorter signal — the
+    delay-alignment stage absorbs the offset, matching what the host
+    path's post-alignment trim does."""
     references = jnp.asarray(references, dtype=jnp.float32)
     estimates = jnp.asarray(estimates, dtype=jnp.float32)
+    if references.shape[-1] != estimates.shape[-1]:
+        T = min(references.shape[-1], estimates.shape[-1])
+        references = references[..., :T]
+        estimates = estimates[..., :T]
     T = references.shape[-1]
     tab = _mode_tables(mode, 2)  # validates the mode eagerly
     if T < 4 * tab["frame"]:

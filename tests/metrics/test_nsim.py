@@ -73,6 +73,23 @@ def test_batch_is_per_item():
     assert ns[0] < 0.92 and abs(ns[1] - 1.0) < 1e-4
 
 
+def test_argument_validation_and_trim():
+    fs = MODES["speech"]["fs"]
+    x = _speech(7, 1.0, fs)
+    # sub-frame input: a clear error, not a zero-size reduction crash
+    with pytest.raises(ValueError, match="too short"):
+        nsim_batch(x[None, :400], x[None, :400], mode="speech")
+    with pytest.raises(ValueError, match="mode"):
+        nsim_batch(x[None], x[None], mode="nope")
+    # unequal lengths trim to the shorter signal instead of a broadcast
+    # error; a one-hop tail must barely move the score
+    deg = _noisy(x, 15.0)
+    base = float(nsim_batch(x[None], deg[None], mode="speech")[0])
+    longer = np.concatenate([deg, np.zeros(128, np.float32)])
+    out = float(nsim_batch(x[None], longer[None], mode="speech")[0])
+    assert abs(out - base) < 0.02
+
+
 def test_visqol_wrapper_nsim_backend():
     from audiotools_tpu.metrics import quality
 

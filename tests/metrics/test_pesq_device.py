@@ -99,3 +99,29 @@ def test_wrapper_matches_host_wrapper():
 def test_too_short_raises():
     with pytest.raises(ValueError, match="too short"):
         pesq_batch(np.zeros((1, 512), np.float32), np.zeros((1, 512), np.float32))
+
+
+def test_degenerate_silence_matches_host():
+    """A silent degraded signal is the tie-break stress case: both paths
+    must resolve the flat envelope correlation to lag 0 and agree, and
+    the score must sit near the MOS floor (subtractive-loss channel)."""
+    fs = _MODES["wb"].fs
+    x = _speech(4, 2.0, fs)
+    z = np.zeros_like(x)
+    dev = float(pesq_batch(x[None], z[None], mode="wb")[0])
+    host = pesq_native(x.astype(np.float64), z.astype(np.float64), fs, "wb")
+    np.testing.assert_allclose(dev, host, atol=2e-3)
+    assert dev < 1.5
+
+
+def test_length_mismatch_trims_to_shorter():
+    """Unequal-length pairs trim to the common length instead of dying
+    inside jit with a broadcasting error; a few trailing samples must
+    barely move the score."""
+    fs = _MODES["wb"].fs
+    x = _speech(6, 2.0, fs)
+    deg = _noisy(x, 20.0)
+    base = float(pesq_batch(x[None], deg[None], mode="wb")[0])
+    longer = np.concatenate([deg, np.zeros(257, np.float32)])
+    out = float(pesq_batch(x[None], longer[None], mode="wb")[0])
+    assert abs(out - base) < 0.05

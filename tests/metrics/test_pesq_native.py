@@ -69,6 +69,37 @@ def test_clip_and_quant_ladders_monotonic(mode, fs):
     assert quants[0] > quants[1] > quants[2]
 
 
+@pytest.mark.parametrize("mode,fs", [("nb", 8000), ("wb", 16000)])
+def test_total_signal_loss_scores_low(mode, fs):
+    """A silent or hum-only degraded signal is a total loss of the
+    reference and must land near the MOS floor, not near the maximum
+    (the subtractive-loss channel; sym/asym disturbances alone respond
+    weakly to outright band-kill)."""
+    x = _speech(0, 2.0, fs)
+    t = np.arange(len(x)) / fs
+    assert pesq_native(x, np.zeros_like(x), fs, mode) < 1.5
+    hum = 0.1 * np.sin(2 * np.pi * 50.0 * t)
+    assert pesq_native(x, hum, fs, mode) < 2.5
+    # and the loss channel must not punish additive degradations:
+    # identical still maps to the published maximum (pinned above) and
+    # mild noise stays comfortably above the loss-dominated scores
+    assert pesq_native(x, _noisy(x, 40.0), fs, mode) > 3.5
+
+
+def test_flat_correlation_resolves_to_zero_lag():
+    """With a constant degraded signal the envelope cross-correlation is
+    flat; the tie must resolve to lag 0 (keeping the whole signal), not
+    numpy-argmax's extreme negative lag (which trims ref to one window)."""
+    from audiotools_tpu.metrics._pesq import _estimate_delay
+
+    fs = 8000
+    x = _speech(2, 2.0, fs)
+    assert _estimate_delay(x, np.zeros_like(x), fs) == 0
+    # a constant (non-zero) degraded signal may still move within the
+    # +-2 ms fine window, but the coarse stage must not run away
+    assert abs(_estimate_delay(x, np.full_like(x, 0.01), fs)) <= int(0.002 * fs)
+
+
 def test_alignment_absorbs_delay():
     """A 50 ms bulk delay is a transport artifact, not a quality loss;
     the crude+fine alignment stage must recover it."""
@@ -82,6 +113,13 @@ def test_argument_validation():
     x = _speech(0, 1.0, 8000)
     with pytest.raises(ValueError, match="mode"):
         pesq_native(x, x, 8000, "fb")
+    # the wrapper validates mode up front for every backend (a bad mode
+    # must raise ValueError, not KeyError from the native table lookup)
+    from audiotools_tpu.metrics import quality
+
+    sig = AudioSignal(x[None, None, :].astype(np.float32), 8000)
+    with pytest.raises(ValueError, match="mode"):
+        quality.pesq(sig, sig, mode="fb", backend="native")
     with pytest.raises(ValueError, match="fs"):
         pesq_native(x, x, 16000, "nb")
     with pytest.raises(ValueError, match="short"):
