@@ -118,6 +118,18 @@ def sharded_fir_conv(
         # block[..., -0:] (the WHOLE shard) and emit a doubled-length,
         # wrong-valued output
         return x * kernel[..., 0]
+    n_dev = mesh.shape[axis_name]
+    T = x.shape[-1]
+    if T % n_dev:
+        raise ValueError(f"T={T} must divide over {n_dev} shards")
+    if K - 1 > T // n_dev:
+        # block[..., -halo:] silently clamps when the halo exceeds one
+        # shard, producing wrong-length, wrong-valued output — the
+        # kernel history may only reach the immediate left neighbor
+        raise ValueError(
+            f"kernel history K-1={K - 1} must fit in one shard "
+            f"(T_shard={T // n_dev}); use fewer shards or a shorter kernel"
+        )
     raw = _fir_conv_raw(K, x.ndim, mesh, axis_name)
     return _jit(raw)(x, kernel)
 
@@ -214,6 +226,16 @@ def sharded_resample(
             f"shard length {T_shard} must be a multiple of the reduced "
             f"old rate {old} so all shards share the polyphase phase"
         )
+    from ..ops.resample import resample_kernels
+
+    _, width = resample_kernels(old, new, zeros, rolloff)
+    if width + old > T_shard:
+        # the halo slices clamp silently past one shard (see
+        # sharded_fir_conv); the right halo needs width + old samples
+        raise ValueError(
+            f"polyphase halo width+old={width + old} must fit in one "
+            f"shard (T_shard={T_shard}); use fewer shards"
+        )
 
     raw = _resample_raw(old, new, zeros, rolloff, T_shard, mesh, axis_name)
     batch_shape = x.shape[:-1]
@@ -293,6 +315,10 @@ def _stft_geometry(T, n_dev, window_length, hop_length):
     center=True convention: reflect pad of ``cpad = win // 2``, frames at
     every hop of the padded signal, ``1 + T // hop`` total frames)."""
     cpad = window_length // 2
+    # odd windows reflect-pad 2*(win//2) = win-1 samples, so every frame
+    # count below would overcount by one (a garbage frame reported as
+    # valid); all real STFT windows here are even — reject the rest
+    assert window_length % 2 == 0, "window_length must be even"
     T_shard = T // n_dev
     assert T_shard * n_dev == T, "time axis must divide evenly over shards"
     assert T_shard % hop_length == 0, "shard length must divide into hops"
@@ -326,8 +352,9 @@ def _stft_raw(
     cpad, T_shard, nf_local, n_valid, right = _stft_geometry(
         T, n_dev, window_length, hop_length
     )
-    window = jnp.asarray(get_window(window_type, window_length))
     if method in ("matmul", "matmul_bf16"):
+        # the window is fused into the DFT matrices; only the fft
+        # branch applies it explicitly
         C, S = _dft_matrices(window_type, window_length)
         C, S = jnp.asarray(C), jnp.asarray(S)
         prec = (
@@ -335,6 +362,8 @@ def _stft_raw(
             if method == "matmul"
             else jax.lax.Precision.DEFAULT
         )
+    else:
+        window = jnp.asarray(get_window(window_type, window_length))
 
     def local(block):
         n = jax.lax.axis_size(axis_name)

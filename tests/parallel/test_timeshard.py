@@ -226,3 +226,29 @@ def test_sharded_resample_shard_constraint():
     x = jnp.zeros((1, 8 * 7))  # shard length 7 not divisible by old=2
     with pytest.raises(ValueError):
         sharded_resample(x, 2, 3, mesh)
+
+
+def test_halo_overflow_rejected_not_silent():
+    """Halos longer than one shard used to clamp silently (the slice
+    block[..., -halo:] just shortens), returning wrong-length or
+    wrong-valued arrays; both primitives must reject them loudly."""
+    from audiotools_tpu.parallel import sharded_resample
+
+    mesh = make_mesh({"sp": 8})
+    # FIR kernel history (K-1 = 128) exceeds T_shard = 64
+    x = jnp.zeros((1, 1, 8 * 64), jnp.float32)
+    with pytest.raises(ValueError, match="fit in one shard"):
+        sharded_fir_conv(x, jnp.zeros((129,), jnp.float32), mesh)
+    # polyphase width (26 at 1->2) exceeds T_shard = 16
+    y = jnp.zeros((1, 8 * 16), jnp.float32)
+    with pytest.raises(ValueError, match="fit in one shard"):
+        sharded_resample(y, 8000, 16000, mesh)
+
+
+def test_sharded_stft_rejects_odd_window():
+    """Odd windows reflect-pad win-1 samples, so the even-window frame
+    count would report one garbage frame as valid — rejected up front."""
+    mesh = make_mesh({"sp": 8})
+    x = jnp.zeros((1, 8 * 1152), jnp.float32)
+    with pytest.raises(AssertionError, match="even"):
+        sharded_stft(x, 257, 128, mesh)
