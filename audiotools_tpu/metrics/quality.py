@@ -23,14 +23,18 @@ __all__ = ["stoi", "stoi_device", "pesq", "pesq_device", "visqol"]
 
 # --- native STOI (Taal et al. 2010/2011) -----------------------------------
 
-_FS = 10000
-_N_FRAME = 256
-_NFFT = 512
-_NUMBAND = 15
-_MINFREQ = 150
-_N = 30
-_BETA = -15.0
-_DYN_RANGE = 40.0
+# single source of truth for the algorithm constants: the host loop here
+# is the float64 oracle for the device program, so they must never drift
+from ..ops.stoi import (
+    BETA as _BETA,
+    DYN_RANGE as _DYN_RANGE,
+    FS as _FS,
+    MINFREQ as _MINFREQ,
+    N as _N,
+    N_FRAME as _N_FRAME,
+    NFFT as _NFFT,
+    NUMBAND as _NUMBAND,
+)
 
 
 def _thirdoct(fs, nfft, num_bands, min_freq):

@@ -112,22 +112,27 @@ def read_wav(path, offset: float = 0.0, duration: float = None):
     """Native seeked decode -> ((C, T) float32, sample_rate)."""
     sr, total, ch = wav_info(path)
     start = int(round(offset * sr)) if offset else 0
-    start = min(start, total)
+    start = min(max(start, 0), total)
     if duration is None:
         count = total - start
     else:
         count = min(int(round(duration * sr)), total - start)
-    out = np.empty((ch, max(count, 0)), dtype=np.float32)
-    lib = get_library()
-    got = lib.at_wav_read(
-        str(path).encode(),
-        start,
-        count,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ch,
-    )
-    if got < 0:
-        raise ValueError(f"native decode failed for {path}")
+    # a negative count must never reach the C side: at_wav_read treats
+    # n_frames < 0 as read-to-end and would decode into the 0-byte buffer
+    count = max(count, 0)
+    out = np.empty((ch, count), dtype=np.float32)
+    got = 0
+    if count:
+        lib = get_library()
+        got = lib.at_wav_read(
+            str(path).encode(),
+            start,
+            count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ch,
+        )
+        if got < 0:
+            raise ValueError(f"native decode failed for {path}")
     return out[:, :got], sr
 
 
@@ -164,8 +169,8 @@ def read_batch(paths, offsets, durations, n_threads: int = 0):
             infos.append(wav_info(p))
     starts, counts, outs, chans = [], [], [], []
     for (sr, total, ch), off, dur in zip(infos, offsets, durations):
-        start = min(int(round(off * sr)), total)
-        count = int(round(dur * sr))
+        start = min(max(int(round(off * sr)), 0), total)
+        count = max(int(round(dur * sr)), 0)
         starts.append(start)
         counts.append(count)
         chans.append(ch)

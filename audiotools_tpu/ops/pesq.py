@@ -311,8 +311,15 @@ def _pesq_single(x, y, mode, T):
         - tab["d_loss"] * d_loss
     )
     if mode == "wb":
-        return 0.999 + 4.999 / (1.0 + jnp.exp(-1.338 * raw + 5.035))
-    return 0.999 + 4.0 / (1.0 + jnp.exp(-1.4945 * raw + 4.6607))
+        mos = 0.999 + 4.999 / (1.0 + jnp.exp(-1.338 * raw + 5.035))
+    else:
+        mos = 0.999 + 4.0 / (1.0 + jnp.exp(-1.4945 * raw + 4.6607))
+    # alignment left no fully-valid frame (e.g. the estimated delay
+    # pushes the overlap window off the signal): every disturbance term
+    # above degenerates to 0 and `raw` collapses to its 4.5 ceiling — a
+    # perfect score for a pair with no usable overlap. Undefined, as in
+    # stoi's too-short guard.
+    return jnp.where(nv > 0, mos, jnp.nan)
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))

@@ -157,6 +157,11 @@ def stoi_batch(references, estimates, extended=False):
     """
     references = jnp.asarray(references, dtype=jnp.float32)
     estimates = jnp.asarray(estimates, dtype=jnp.float32)
+    # trim to the common length (as pesq_batch/nsim_batch do): framing the
+    # longer signal against the shorter would clamp-gather garbage frames
+    T = min(references.shape[-1], estimates.shape[-1])
+    references = references[..., :T]
+    estimates = estimates[..., :T]
     if references.shape[-1] < N_FRAME + (N - 1) * HOP:
         # fewer than N frames total: no window can ever be valid
         return jnp.full(references.shape[0], jnp.nan, dtype=jnp.float32)

@@ -208,3 +208,18 @@ def test_stoi_device_matches_host():
     assert np.isnan(
         np.asarray(metrics.quality.stoi_device(short.clone(), short.clone()))
     ).all()
+
+
+def test_stoi_batch_trims_length_mismatch():
+    """Unequal-length pairs trim to the common length (as the pesq/nsim
+    batch programs do) — without the trim, framing the longer reference
+    against the shorter estimate clamp-gathers duplicated tail frames and
+    returns a plausible but wrong score."""
+    from audiotools_tpu.ops.stoi import stoi_batch
+
+    rng = np.random.RandomState(7)
+    ref = rng.randn(2, 40000).astype(np.float32)
+    est = ref[:, :38000] + 0.01 * rng.randn(2, 38000).astype(np.float32)
+    mismatched = np.asarray(stoi_batch(ref, est))
+    trimmed = np.asarray(stoi_batch(ref[:, :38000], est))
+    np.testing.assert_allclose(mismatched, trimmed, atol=1e-6)

@@ -125,3 +125,19 @@ def test_length_mismatch_trims_to_shorter():
     longer = np.concatenate([deg, np.zeros(257, np.float32)])
     out = float(pesq_batch(x[None], longer[None], mode="wb")[0])
     assert abs(out - base) < 0.05
+
+
+def test_no_aligned_overlap_is_nan():
+    """When the estimated delay leaves no fully-valid frame, every
+    disturbance term degenerates to zero and the raw score would sit at
+    its 4.5 ceiling — a perfect MOS for a pair with no usable overlap.
+    That case is undefined, not perfect: NaN (mirrors stoi's too-short
+    guard)."""
+    T = 16000
+    rng = np.random.RandomState(0)
+    click = (rng.randn(150) * 0.5).astype(np.float32)
+    ref = np.zeros((1, T), np.float32)
+    ref[0, :150] = click
+    deg = np.zeros((1, T), np.float32)
+    deg[0, T - 160 : T - 10] = click
+    assert np.isnan(float(pesq_batch(ref, deg, mode="wb")[0]))

@@ -163,3 +163,20 @@ def test_read_batch_mixed_wav_flac(tmp_path):
     for o in outs2:
         assert o.shape == (1, 4000)
         assert np.all(o[:, 1600:] == 0)
+
+
+def test_negative_duration_and_offset_clamped(wavs):
+    """A negative duration must never reach the C decoder as a frame
+    count (at_wav_read treats n < 0 as read-to-end and would decode the
+    whole file into the zero-byte output buffer); negative offsets clamp
+    to the file start."""
+    p, data = wavs["stereo16"]
+    out, sr = native.read_wav(p, duration=-0.5)
+    assert out.shape == (2, 0)
+    out, sr = native.read_wav(p, offset=-3.0, duration=0.1)
+    assert out.shape == (2, int(0.1 * sr))
+    np.testing.assert_allclose(out, data[:, : out.shape[1]], atol=2e-4)
+    # batch path: same clamps
+    outs, srs = native.read_batch([p, p], [-3.0, 0.0], [0.1, -0.5])
+    assert outs[0].shape == (2, int(0.1 * srs[0]))
+    assert outs[1].shape == (2, 0)
