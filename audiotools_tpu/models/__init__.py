@@ -1,5 +1,8 @@
+from . import adversarial
 from . import artifacts
 from . import dac
+from . import discriminators
 from . import train
 from .artifacts import compress, decompress, load_artifact, save_artifact
 from .dac import DAC
+from .discriminators import Discriminator

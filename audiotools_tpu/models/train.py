@@ -21,8 +21,15 @@ LOSS_WEIGHTS = {
 }
 
 
-def codec_loss(model, params, audio: jnp.ndarray, sample_rate: int):
-    """Reconstruction + VQ losses for a codec batch ``(B, 1, T)``."""
+def codec_loss(
+    model, params, audio: jnp.ndarray, sample_rate: int,
+    return_recon: bool = False,
+):
+    """Reconstruction + VQ losses for a codec batch ``(B, 1, T)``.
+
+    ``return_recon=True`` additionally returns the reconstruction, so an
+    adversarial step can reuse the single generator forward pass (see
+    ``models.adversarial``)."""
     out = model.apply(params, audio)
     recon = out["audio"]
 
@@ -48,6 +55,8 @@ def codec_loss(model, params, audio: jnp.ndarray, sample_rate: int):
         "loss/commitment": out["vq/commitment_loss"],
         "loss/codebook": out["vq/codebook_loss"],
     }
+    if return_recon:
+        return loss, metrics, recon
     return loss, metrics
 
 

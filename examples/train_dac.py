@@ -61,7 +61,8 @@ def main(args):
     from audiotools_tpu.data.loader import DataLoader
     from audiotools_tpu.ml.checkpoint import Checkpointer
     from audiotools_tpu.ml.decorators import Tracker, timer
-    from audiotools_tpu.models import DAC
+    from audiotools_tpu.models import DAC, Discriminator
+    from audiotools_tpu.models.adversarial import make_adversarial_train_step
     from audiotools_tpu.models.train import make_train_step
 
     accel = ml.Accelerator(amp=args.amp)
@@ -88,14 +89,50 @@ def main(args):
     T = (T // model.hop_length) * model.hop_length
 
     example = jnp.zeros((1, 1, T), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), example)
-    params = accel.prepare_model(params)
+    g_params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), example)
+    g_params = accel.prepare_model(g_params)
     opt = optax.adamw(args.lr)
-    opt_state = jax.device_put(opt.init(params), accel.replicated)
-    # donate params/opt_state buffers: they are replaced every step
-    step_fn = jax.jit(
-        make_train_step(model, opt, args.sample_rate), donate_argnums=(0, 1)
-    )
+
+    if args.adversarial:
+        # the full DAC recipe: LSGAN + feature matching against the
+        # MPD + multi-band spectrogram discriminator ensemble
+        disc = Discriminator(
+            periods=(2, 3, 5) if args.toy else (2, 3, 5, 7, 11),
+            fft_sizes=(512, 256) if args.toy else (2048, 1024, 512),
+            mpd_channels=(8, 16) if args.toy else (32, 128, 512, 1024),
+            mrd_channels=8 if args.toy else 32,
+            dtype=jnp.bfloat16 if args.amp else None,
+        )
+        d_raw = jax.jit(disc.init)(jax.random.PRNGKey(args.seed + 1), example)
+        d_raw = accel.prepare_model(d_raw)
+        d_opt = optax.adamw(args.lr)
+        # one params/opt_state pytree for the checkpointer: both nets
+        # resume together from the same step
+        params = {"g": g_params, "d": d_raw}
+        opt_state = jax.device_put(
+            {"g": opt.init(g_params), "d": d_opt.init(d_raw)},
+            accel.replicated,
+        )
+        adv_step = jax.jit(
+            make_adversarial_train_step(
+                model, disc, opt, d_opt, args.sample_rate
+            ),
+            donate_argnums=(0, 1, 2, 3),
+        )
+
+        def step_fn(p, s, audio):
+            g, d, gs, ds, metrics = adv_step(
+                p["g"], p["d"], s["g"], s["d"], audio
+            )
+            return {"g": g, "d": d}, {"g": gs, "d": ds}, metrics
+
+    else:
+        params = g_params
+        opt_state = jax.device_put(opt.init(params), accel.replicated)
+        # donate params/opt_state buffers: they are replaced every step
+        step_fn = jax.jit(
+            make_train_step(model, opt, args.sample_rate), donate_argnums=(0, 1)
+        )
 
     # mid-epoch resume: restore params/opt/tracker and skip seen indices
     start_idx = 0
@@ -159,6 +196,11 @@ if __name__ == "__main__":
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--amp", action="store_true", help="bfloat16 compute")
+    p.add_argument(
+        "--adversarial", action="store_true",
+        help="train against the MPD+MRD discriminator ensemble "
+        "(LSGAN + feature matching, the published DAC recipe)",
+    )
     p.add_argument("--toy", action="store_true", help="tiny model for smoke runs")
     p.add_argument("--num-workers", type=int, default=0)
     p.add_argument("--ckpt-every", type=int, default=50)
