@@ -28,6 +28,14 @@ from ..ops import fft as _fft
 
 _LEAK = 0.1
 
+
+def _conv(ch, kernel, strides=(1, 1), dtype=None, weight_norm=True):
+    """2-D conv, weight-normalized by default as in the published DAC/
+    HiFi-GAN discriminators (decouples each filter's direction from its
+    magnitude — the standard GAN-discriminator conditioning trick)."""
+    conv = nn.Conv(ch, kernel_size=kernel, strides=strides, dtype=dtype)
+    return nn.WeightNorm(conv) if weight_norm else conv
+
 # frequency-band split points (fractions of the rfft bins) for the
 # multi-band spectrogram discriminators, as in the published DAC config
 BAND_SPLITS: Tuple[Tuple[float, float], ...] = (
@@ -45,6 +53,7 @@ class PeriodDiscriminator(nn.Module):
 
     period: int
     channels: Sequence[int] = (32, 128, 512, 1024)
+    weight_norm: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -60,17 +69,18 @@ class PeriodDiscriminator(nn.Module):
             h = h.astype(self.dtype)
         feats = []
         for ch in self.channels:
-            h = nn.Conv(
-                ch, kernel_size=(5, 1), strides=(3, 1), dtype=self.dtype
-            )(h)
+            h = _conv(ch, (5, 1), (3, 1), self.dtype, self.weight_norm)(h)
             h = nn.leaky_relu(h, _LEAK)
             feats.append(h)
-        h = nn.Conv(
-            self.channels[-1], kernel_size=(5, 1), dtype=self.dtype
+        h = _conv(
+            self.channels[-1], (5, 1), dtype=self.dtype,
+            weight_norm=self.weight_norm,
         )(h)
         h = nn.leaky_relu(h, _LEAK)
         feats.append(h)
-        logits = nn.Conv(1, kernel_size=(3, 1), dtype=self.dtype)(h)
+        logits = _conv(
+            1, (3, 1), dtype=self.dtype, weight_norm=self.weight_norm
+        )(h)
         feats.append(logits.astype(jnp.float32))
         return feats
 
@@ -84,6 +94,7 @@ class BandSpectrogramDiscriminator(nn.Module):
     channels: int = 32
     bands: Tuple[Tuple[float, float], ...] = BAND_SPLITS
     stft_method: str = "fft"
+    weight_norm: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -105,20 +116,26 @@ class BandSpectrogramDiscriminator(nn.Module):
         for b in range(len(self.bands)):
             h = img[:, :, edges[b] : edges[b + 1], :]
             for i in range(4):
-                h = nn.Conv(
+                h = _conv(
                     self.channels,
-                    kernel_size=(3, 9),
-                    strides=(1, 2) if i else (1, 1),
-                    dtype=self.dtype,
+                    (3, 9),
+                    (1, 2) if i else (1, 1),
+                    self.dtype,
+                    self.weight_norm,
                 )(h)
                 h = nn.leaky_relu(h, _LEAK)
                 feats.append(h)
-            h = nn.Conv(self.channels, kernel_size=(3, 3), dtype=self.dtype)(h)
+            h = _conv(
+                self.channels, (3, 3), dtype=self.dtype,
+                weight_norm=self.weight_norm,
+            )(h)
             h = nn.leaky_relu(h, _LEAK)
             feats.append(h)
             outs.append(h)
         h = jnp.concatenate(outs, axis=2)  # re-join bands along freq
-        logits = nn.Conv(1, kernel_size=(3, 3), dtype=self.dtype)(h)
+        logits = _conv(
+            1, (3, 3), dtype=self.dtype, weight_norm=self.weight_norm
+        )(h)
         feats.append(logits.astype(jnp.float32))
         return feats
 
@@ -135,11 +152,17 @@ class Discriminator(nn.Module):
     mrd_channels: int = 32
     bands: Tuple[Tuple[float, float], ...] = BAND_SPLITS
     stft_method: str = "fft"
+    weight_norm: bool = True
     dtype: Any = None
 
     def setup(self):
         self.mpd = [
-            PeriodDiscriminator(p, tuple(self.mpd_channels), dtype=self.dtype)
+            PeriodDiscriminator(
+                p,
+                tuple(self.mpd_channels),
+                weight_norm=self.weight_norm,
+                dtype=self.dtype,
+            )
             for p in self.periods
         ]
         self.mrd = [
@@ -148,6 +171,7 @@ class Discriminator(nn.Module):
                 self.mrd_channels,
                 tuple(self.bands),
                 stft_method=self.stft_method,
+                weight_norm=self.weight_norm,
                 dtype=self.dtype,
             )
             for n in self.fft_sizes
