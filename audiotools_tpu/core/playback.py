@@ -27,7 +27,7 @@ def _check_imports():
     try:
         import IPython
     except ImportError:
-        raise ImportError("IPython must be installed in order to use this function!")
+        raise ImportError("embed/play requires IPython, which is not installed")
     return None, IPython
 
 

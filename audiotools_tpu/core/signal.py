@@ -110,8 +110,9 @@ class AudioSignal(
             audio_array = audio_path_or_array.detach().cpu().numpy()
         else:
             raise ValueError(
-                "audio_path_or_array must be either a Path, "
-                "string, numpy array, or jax array!"
+                "Cannot build an AudioSignal from "
+                f"{type(audio_path_or_array).__name__}: expected a path "
+                "(str/Path), a numpy/jax array, or a list/tuple of samples."
             )
 
         self.path_to_file = None
@@ -126,7 +127,9 @@ class AudioSignal(
                 audio_path, offset=offset, duration=duration, device=device
             )
         elif audio_array is not None:
-            assert sample_rate is not None, "Must set sample rate!"
+            assert sample_rate is not None, (
+                "sample_rate is required when constructing from an array"
+            )
             self.load_from_array(audio_array, sample_rate, device=device)
 
         self.stft_params = stft_params
@@ -279,7 +282,8 @@ class AudioSignal(
         elif shape == "triangle":
             from scipy.signal import sawtooth
 
-            # frequency is doubled by the abs call, so omit the 2 in 2pi
+            # folding with abs() halves the period, so drive sawtooth at
+            # pi*f instead of 2*pi*f to land on the requested frequency
             wave_data = sawtooth(np.pi * frequency * t, 0.5)
             wave_data = -np.abs(wave_data) * 2 + 1
         else:
@@ -309,8 +313,8 @@ class AudioSignal(
                     x.resample(sample_rates[0])
             else:
                 raise RuntimeError(
-                    f"Not all signals had the same sample rate! Got {sample_rates}. "
-                    f"All signals must have the same sample rate, or resample must be True. "
+                    f"Cannot batch signals with mixed sample rates "
+                    f"{sample_rates}; pass resample=True to unify them."
                 )
 
         if len(set(signal_lengths)) != 1:
@@ -325,9 +329,9 @@ class AudioSignal(
                     x.truncate_samples(min_length)
             else:
                 raise RuntimeError(
-                    f"Not all signals had the same length! Got {signal_lengths}. "
-                    f"All signals must be the same length, or pad_signals/truncate_signals "
-                    f"must be True. "
+                    f"Cannot batch signals of differing lengths "
+                    f"{signal_lengths}; pass pad_signals=True or "
+                    f"truncate_signals=True to reconcile them."
                 )
         audio_data = jnp.concatenate([x.audio_data for x in audio_signals], axis=dim)
         audio_paths = [x.path_to_file for x in audio_signals]
@@ -539,7 +543,7 @@ class AudioSignal(
                 data = jnp.asarray(data)
             assert data.ndim == 3, "audio_data should be 3-dim (B, C, T)"
         self._audio_data = data
-        # Old loudness value not guaranteed to be right, reset it.
+        # new samples invalidate the cached LUFS measurement
         self._loudness = None
 
     samples = audio_data

@@ -281,9 +281,57 @@ def dist_lower_bound(dist_tuple, default: float = None):
     return default
 
 
+class AlwaysTrue:
+    """Static all-true transform mask, emitted by
+    ``BaseTransform.instantiate`` when ``prob == 1.0`` (whose Bernoulli
+    draw is true by construction).
+
+    Registered as a *leafless* pytree node, so ``jit`` / ``device_put`` /
+    ``tree_map`` treat it as static structure rather than a traced array:
+    inside a jitted program its truth is inspectable at trace time, which
+    is what lets always-on transforms skip the clone + ``where``-merge
+    safely. The moment a caller replaces it with a real mask (array or
+    bool) the static evidence is gone and the masked path runs — a
+    hand-edited mask can never be silently ignored.
+    """
+
+    __slots__ = ()
+
+    def __bool__(self):
+        return True
+
+    def __array__(self, dtype=None, copy=None):
+        return np.asarray(True, dtype=dtype)
+
+    def __repr__(self):
+        return "AlwaysTrue()"
+
+    def __eq__(self, other):
+        return isinstance(other, AlwaysTrue)
+
+    def __hash__(self):
+        return hash(AlwaysTrue)
+
+
+jax.tree_util.register_pytree_node(
+    AlwaysTrue,
+    lambda m: ((), None),
+    lambda aux, children: AlwaysTrue(),
+)
+
+
 def _default_collate(values):
     """Stack a list of scalars/arrays into one array (host-side)."""
     v0 = values[0]
+    if all(isinstance(v, AlwaysTrue) for v in values):
+        # a batch of static all-true masks is still statically all-true
+        return AlwaysTrue()
+    if isinstance(v0, AlwaysTrue) or any(
+        isinstance(v, AlwaysTrue) for v in values
+    ):
+        # mixed with concrete values (hand-edited batch): materialize
+        values = [bool(v) if isinstance(v, AlwaysTrue) else v for v in values]
+        v0 = values[0]
     if isinstance(v0, (np.ndarray, jnp.ndarray)):
         return jnp.stack([jnp.asarray(v) for v in values])
     if isinstance(v0, (bool, np.bool_)):

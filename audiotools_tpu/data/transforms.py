@@ -51,13 +51,18 @@ def tt(x):
 
 
 def _mask_statically_true(mask) -> bool:
-    """True when the mask is either invisible to inspection (a traced
-    value inside ``jit`` — trusted to match its prob=1.0 construction)
-    or a concrete value that is verifiably all-true."""
+    """True only when there is *static* evidence the mask is all-true:
+    the ``AlwaysTrue`` sentinel (a leafless pytree node emitted by
+    ``instantiate`` for prob=1.0, visible even under ``jit``) or a
+    concrete value that verifiably holds no False. A traced array is
+    never trusted — a hand-edited mask applied inside ``jit`` must take
+    the masked path."""
     import jax
 
-    if isinstance(mask, jax.core.Tracer):
+    if isinstance(mask, util.AlwaysTrue):
         return True
+    if isinstance(mask, jax.core.Tracer):
+        return False
     try:
         return bool(np.all(np.asarray(mask)))
     except Exception:
@@ -80,7 +85,7 @@ class BaseTransform:
     def __init__(self, keys: list = [], name: str = None, prob: float = 1.0):
         tfm_keys = list(signature(self._transform).parameters.keys())
 
-        # Filter out signal and kwargs keys.
+        # the signal itself and the catch-all **kwargs are not drawn params
         ignore_keys = ["signal", "kwargs"]
         tfm_keys = [k for k in tfm_keys if k not in ignore_keys]
 
@@ -95,7 +100,10 @@ class BaseTransform:
     def _prepare(self, batch: dict):
         sub_batch = batch[self.name]
         for k in self.keys:
-            assert k in sub_batch.keys(), f"{k} not in batch"
+            assert k in sub_batch.keys(), (
+                f"transform '{self.name}' expected key '{k}' in its "
+                f"instantiated kwargs, got {sorted(sub_batch.keys())}"
+            )
         return sub_batch
 
     def _transform(self, signal):
@@ -108,6 +116,8 @@ class BaseTransform:
     def apply_mask(batch: dict, mask):
         """Subset batch values where mask is true (reference
         transforms.py:114-131). Host-side only (boolean indexing)."""
+        if isinstance(mask, util.AlwaysTrue):
+            return batch
         mask = np.asarray(mask)
         masked_batch = {}
         for k, v in flatten(batch).items():
@@ -121,25 +131,25 @@ class BaseTransform:
         """Apply the transform where the mask is true
         (reference transforms.py:133-166; compute-all + select here).
 
-        ``prob == 1.0`` is a *static* Python attribute and its Bernoulli
-        draw (``state.rand() <= 1.0``) is true by construction, so the
-        clone + ``where``-select (a full-signal copy each) is skipped
-        entirely for always-on transforms — the common case in
-        augmentation chains. The shortcut defers to the mask actually
-        passed in whenever it can be inspected: a *concrete* mask that
-        is not all-true (e.g. hand-edited after ``instantiate`` to
-        disable augmentation for some items) takes the masked path; only
-        a traced mask — invisible inside ``jit`` — is trusted to match
-        its ``prob=1.0`` construction. ``Choose`` rewrites child masks
-        after instantiation, so it opts back in via ``_force_masked``.
+        For ``prob == 1.0`` transforms, ``instantiate`` emits the static
+        ``util.AlwaysTrue`` mask sentinel (its Bernoulli draw is true by
+        construction), so the clone + ``where``-select (a full-signal
+        copy each) is skipped entirely for always-on transforms — the
+        common case in augmentation chains. The shortcut requires static
+        evidence: the sentinel, or a concrete mask that is verifiably
+        all-true. The moment a caller supplies any real mask array —
+        even inside ``jit``, where it is traced and uninspectable — the
+        masked path runs, so a hand-edited mask is never silently
+        ignored. ``Choose`` rewrites child masks after instantiation
+        (clearing the sentinel) and additionally opts its children back
+        into the masked path via ``_force_masked``.
         """
         tfm_kwargs = self._prepare(kwargs)
         mask = tfm_kwargs["mask"]
         tfm_kwargs = {k: v for k, v in tfm_kwargs.items() if k != "mask"}
 
         if (
-            self.prob >= 1.0
-            and not getattr(self, "_force_masked", False)
+            not getattr(self, "_force_masked", False)
             and _mask_statically_true(mask)
         ):
             return self._transform(signal, **tfm_kwargs)
@@ -172,8 +182,12 @@ class BaseTransform:
                 params[k] = v
             else:
                 params[k] = tt(v)
-        mask = bool(state.rand() <= self.prob)
-        params["mask"] = tt(mask)
+        if self.prob >= 1.0:
+            # static sentinel: true by construction, survives collate /
+            # device_put / jit as pytree structure rather than data
+            params["mask"] = util.AlwaysTrue()
+        else:
+            params["mask"] = tt(bool(state.rand() <= self.prob))
 
         params = {self.name: params}
         return params
@@ -646,7 +660,8 @@ class Silence(BaseTransform):
             sample_rate=signal.sample_rate,
             stft_params=signal.stft_params,
         )
-        # So that the amount of noise added is as if it wasn't silenced.
+        # keep the pre-silence LUFS on the zeroed signal: downstream
+        # snr-relative mixes should dose noise against the original level
         signal._loudness = _loudness
         return signal
 

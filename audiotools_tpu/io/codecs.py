@@ -133,7 +133,13 @@ def read_mp3(path, offset: float = 0.0, duration: float = None):
         rate = ctypes.c_long()
         ch = ctypes.c_int()
         enc = ctypes.c_int()
-        lib.mpg123_getformat(h, ctypes.byref(rate), ctypes.byref(ch), ctypes.byref(enc))
+        rc = lib.mpg123_getformat(
+            h, ctypes.byref(rate), ctypes.byref(ch), ctypes.byref(enc)
+        )
+        # hostile/corrupt streams can fail format detection or report
+        # zero channels/rate (fuzz-found: ZeroDivisionError below)
+        if rc != _MPG123_OK or ch.value <= 0 or rate.value <= 0:
+            raise ValueError(f"mp3 has no decodable format: {path}")
         # lock to signed 16-bit output
         lib.mpg123_format_none(h)
         lib.mpg123_format(h, rate.value, ch.value, _MPG123_ENC_SIGNED_16)

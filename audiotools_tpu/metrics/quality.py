@@ -12,14 +12,79 @@ any environment (the reference's wrapper simply crashes without the
 lib). ViSQOL uses Google's C++ library when installed and otherwise
 falls back to an in-package device NSIM backend (``ops/nsim.py``) —
 ViSQOL's similarity core as one batched jitted program.
+
+Calibration status of the in-package backends
+---------------------------------------------
+
+The reference's scores come from the *certified* ITU/Google libraries
+(``/root/reference/audiotools/metrics/quality.py:47,88,126``). The
+in-package backends reproduce the architectures, not the certified
+absolute scales, and warn once per process at call time. Known envelope
+from the CI ladder suites (tests/metrics/):
+
+- **STOI** (host and device): fully native but pinned against an
+  independent float64 implementation of Taal et al. at 1.2e-7 — treat as
+  exact. No warning.
+- **PESQ native** (``backend="native"``, ``pesq_device``): P.862
+  pipeline with re-derived tables. Guaranteed properties: output range
+  [1.0, 5.0]; identical signals > 4.3 (nb > 4.4); strictly monotone on
+  AWGN / clipping / quantization ladders; 10 dB SNR scores < 2.5;
+  40 dB SNR scores > 3.5. Absolute bias vs the ITU tool is unbounded by
+  any test in this environment — expect agreement within a few tenths of
+  a MOS point on broadband material, and do not publish absolute MOS
+  from this backend without a one-time cross-check against the ITU lib
+  (see VALIDATION.md).
+- **ViSQOL NSIM** (``backend="nsim"``): raw NSIM is the stable metric
+  (identical -> exactly 1.0, strictly monotone on ladders). The
+  NSIM->MOS-LQO logistic map is anchored to ViSQOL's published ceiling
+  (identical -> ~4.73) and calibrated on noise/codec ladders only; its
+  absolute scale is an uncertified estimate.
 """
 import os
+import warnings
 
 import numpy as np
 
 from ..core import AudioSignal
 
 __all__ = ["stoi", "stoi_device", "pesq", "pesq_device", "visqol"]
+
+# once-per-process flags for the uncertified-scale warnings (the
+# WhisperMixin pattern, core/whisper.py): the reference's pesq/visqol
+# scores come from the certified ITU/Google libraries
+# (/root/reference/audiotools/metrics/quality.py:47,88,126); the
+# in-package backends reproduce the *architecture* but not the certified
+# absolute scale, and users must see that at call time, not only in docs.
+_warned_uncertified = set()
+
+
+def _warn_uncertified(key: str, message: str):
+    if key in _warned_uncertified:
+        return
+    _warned_uncertified.add(key)
+    warnings.warn(message, UserWarning, stacklevel=3)
+
+
+_PESQ_NATIVE_WARNING = (
+    "pesq() is using the in-package P.862-architecture backend, not the "
+    "certified ITU `pesq` C extension. Scores are on the right range "
+    "(1.0-5.0 MOS-LQO), track degradation ladders monotonically, and sit "
+    "within a few tenths of a MOS point of the ITU tool on broadband "
+    "material, but the absolute calibration is NOT certified "
+    "(re-derived tables; see docs/api/audiotools_tpu_metrics_quality.md). "
+    "Install the `pesq` package or pass backend='itu' on a host that has "
+    "it for certified numbers."
+)
+
+_VISQOL_NSIM_WARNING = (
+    "visqol() is using the in-package device NSIM backend, not Google's "
+    "ViSQOL C++ library. The NSIM similarity core ranks degradations "
+    "like ViSQOL, but the NSIM->MOS-LQO map is an uncertified logistic "
+    "fit (the trained SVR/lattice models are unavailable offline; see "
+    "docs/api/audiotools_tpu_metrics_quality.md). Install google/visqol "
+    "or pass backend='google' on a host that has it for certified "
+    "MOS-LQO."
+)
 
 # --- native STOI (Taal et al. 2010/2011) -----------------------------------
 
@@ -210,6 +275,7 @@ def pesq(
     if pesq_fn is None:
         from ._pesq import _MODES, pesq_native
 
+        _warn_uncertified("pesq_native", _PESQ_NATIVE_WARNING)
         target_sr = _MODES[mode].fs
 
     estimates = estimates.clone().to_mono().resample(target_sr)
@@ -242,6 +308,7 @@ def pesq_device(
     from ..ops import pesq as _ops_pesq
     from ._pesq import _MODES
 
+    _warn_uncertified("pesq_native", _PESQ_NATIVE_WARNING)
     if mode not in _MODES:
         raise ValueError(f"mode must be 'nb' or 'wb', got {mode!r}")
     target_sr = _MODES[mode].fs
@@ -295,6 +362,7 @@ def visqol(
     if backend == "nsim":
         from ..ops import nsim as _nsim
 
+        _warn_uncertified("visqol_nsim", _VISQOL_NSIM_WARNING)
         if mode not in _nsim.MODES:
             raise ValueError(f"Unrecognized mode: {mode}")
         target_sr = _nsim.MODES[mode]["fs"]

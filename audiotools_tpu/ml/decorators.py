@@ -30,7 +30,7 @@ from rich.rule import Rule
 from rich.table import Table
 
 
-# This is here so that the history can be pickled.
+# module-level factory (a lambda default would make history unpicklable)
 def default_list():
     return []
 

@@ -11,6 +11,17 @@ inserts the gradient psums).
 The generator forward runs ONCE per step: its reconstruction is returned
 from the generator's grad closure as an aux value, which makes it a
 constant (already "detached") for the discriminator update.
+
+Update-order note: the published DAC loop updates the discriminator
+*first* on the detached reconstruction and then trains the generator
+against the updated discriminator. Torch can do that with one generator
+forward because autograd retains the graph across the two optimizer
+steps; under ``jax.value_and_grad`` a discriminator-first order would
+force a second generator forward (~+30% step time). This step therefore
+updates the generator first against the *current* discriminator — a
+standard simultaneous-style LSGAN variant, equivalent in the
+small-step-size limit — and reuses its reconstruction for the
+discriminator update.
 """
 import jax
 import jax.numpy as jnp

@@ -87,7 +87,7 @@ def compute_stft_padding(
     if match_stride:
         assert (
             hop_length == window_length // 4
-        ), "For match_stride, hop must equal n_fft // 4"
+        ), "match_stride assumes 75% overlap (hop_length == window_length // 4)"
         right_pad = math.ceil(length / hop_length) * hop_length - length
         pad = (window_length - hop_length) // 2
     else:

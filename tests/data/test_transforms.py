@@ -307,6 +307,70 @@ def test_prob_one_shortcut_matches_masked_path():
     assert np.array_equal(fast.numpy(), slow.numpy())
 
 
+def test_prob_one_hand_edited_mask_honored_in_jit():
+    """A prob=1.0 transform whose mask was hand-edited to a half-false
+    array must take the masked path even inside jit, where the mask is
+    traced and uninspectable: items with mask=False come back unchanged.
+    (The always-on shortcut requires the static AlwaysTrue sentinel —
+    replacing it with any real array clears the static evidence.)"""
+    import jax
+
+    transform = tfm.VolumeChange(("const", -12.0))
+    batch = AudioSignal(
+        np.stack([speech_like(s, 1.0)[None] for s in range(4)]), 44100
+    )
+    kwargs = transform.instantiate(
+        audiotools_tpu.core.util.random_state(SEED), batch
+    )
+    name = transform.name
+    assert isinstance(
+        kwargs[name]["mask"], audiotools_tpu.core.util.AlwaysTrue
+    )
+    # hand-edit: disable the transform for items 1 and 3
+    kwargs[name]["mask"] = jnp.asarray([True, False, True, False])
+    kwargs[name]["db"] = jnp.full((4,), -12.0)
+
+    def apply(sig, kw):
+        return transform(sig, **kw).audio_data
+
+    out = jax.jit(apply)(batch, kwargs)
+    gain = 10 ** (-12.0 / 20.0)
+    expected = np.where(
+        np.asarray([True, False, True, False])[:, None, None],
+        batch.numpy() * gain,
+        batch.numpy(),
+    )
+    assert np.allclose(np.asarray(out), expected, atol=1e-6)
+    # masked-off items must be bitwise untouched
+    assert np.array_equal(np.asarray(out)[1], batch.numpy()[1])
+
+
+def test_always_true_mask_survives_collate_and_pickle():
+    """The static sentinel must survive batch_instantiate's collate and
+    a pickle round trip (dataloader workers), staying statically
+    inspectable so the jit fast path persists through the input
+    pipeline."""
+    import pickle
+
+    transform = tfm.VolumeChange(("const", -6.0))
+    sig = _signal()
+    states = [audiotools_tpu.core.util.random_state(s) for s in range(4)]
+    kwargs = transform.batch_instantiate(states, sig)
+    mask = kwargs[transform.name]["mask"]
+    assert isinstance(mask, audiotools_tpu.core.util.AlwaysTrue)
+    restored = pickle.loads(pickle.dumps(kwargs))
+    assert isinstance(
+        restored[transform.name]["mask"], audiotools_tpu.core.util.AlwaysTrue
+    )
+    # device_put / tree_map treat it as structure, not data
+    import jax
+
+    moved = jax.device_put(restored)
+    assert isinstance(
+        moved[transform.name]["mask"], audiotools_tpu.core.util.AlwaysTrue
+    )
+
+
 def test_choose_children_honor_rewritten_masks():
     """A prob=1.0 child inside Choose must still respect the one-hot
     mask rewrite — exactly one child may alter the signal."""

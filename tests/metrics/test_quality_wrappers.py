@@ -143,3 +143,29 @@ def test_wrappers_raise_cleanly_without_libs():
         # the default falls back to the in-package NSIM backend
         with pytest.raises(RuntimeError, match="visqol|ViSQOL"):
             quality.visqol(est, ref, backend="google")
+
+
+def test_uncertified_backends_warn_once_per_process():
+    """VERDICT r2 #4: the native PESQ backend and the NSIM ViSQOL
+    backend must flag their uncertified absolute scale at call time —
+    once per process, like WhisperMixin's experimental warning."""
+    import warnings
+
+    from audiotools_tpu.metrics import quality
+
+    est, ref = _sig(seconds=1.0, seed=3), _sig(seconds=1.0, seed=3)
+
+    quality._warned_uncertified.clear()
+    with pytest.warns(UserWarning, match="NOT certified"):
+        quality.pesq(est, ref, mode="nb", backend="native")
+    # second call in the same process stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        quality.pesq(est, ref, mode="nb", backend="native")
+
+    quality._warned_uncertified.clear()
+    with pytest.warns(UserWarning, match="uncertified logistic fit"):
+        quality.visqol(est, ref, mode="speech", backend="nsim")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        quality.visqol(est, ref, mode="speech", backend="nsim")

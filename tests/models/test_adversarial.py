@@ -42,15 +42,24 @@ def _tiny_gen():
 def disc_and_params():
     disc = _tiny_disc()
     audio = jnp.zeros((1, 1, 2048))
-    return disc, disc.init(jax.random.PRNGKey(1), audio)
+    # jit the init: eager per-op dispatch on this 1-core box costs ~45 s
+    params = jax.jit(disc.init)(jax.random.PRNGKey(1), audio)
+    return disc, params
 
 
-def test_discriminator_shapes(disc_and_params):
+@pytest.fixture(scope="module")
+def disc_apply(disc_and_params):
+    """Module-shared jitted discriminator forward (one compile)."""
+    disc, _ = disc_and_params
+    return jax.jit(disc.apply)
+
+
+def test_discriminator_shapes(disc_and_params, disc_apply):
     disc, d_params = disc_and_params
     audio = jnp.asarray(
         (np.random.RandomState(0).randn(2, 1, 2048) * 0.1).astype(np.float32)
     )
-    outs = disc.apply(d_params, audio)
+    outs = disc_apply(d_params, audio)
     # one feature list per sub-discriminator: 2 periods + 2 resolutions
     assert len(outs) == 4
     for feats in outs:
@@ -61,21 +70,21 @@ def test_discriminator_shapes(disc_and_params):
         assert logits.dtype == jnp.float32
         assert np.isfinite(np.asarray(logits)).all()
     # (B, T) input is accepted too and gives identical logits
-    outs2 = disc.apply(d_params, audio[:, 0, :])
+    outs2 = disc_apply(d_params, audio[:, 0, :])
     np.testing.assert_allclose(
         np.asarray(outs[0][-1]), np.asarray(outs2[0][-1])
     )
 
 
-def test_gan_loss_semantics(disc_and_params):
+def test_gan_loss_semantics(disc_and_params, disc_apply):
     """Perfect discriminator outputs give zero losses; feature matching
     is exactly zero on identical inputs and positive otherwise."""
     disc, d_params = disc_and_params
     rng = np.random.RandomState(1)
     a = jnp.asarray((rng.randn(1, 1, 2048) * 0.1).astype(np.float32))
     b = jnp.asarray((rng.randn(1, 1, 2048) * 0.1).astype(np.float32))
-    outs_a = disc.apply(d_params, a)
-    outs_b = disc.apply(d_params, b)
+    outs_a = disc_apply(d_params, a)
+    outs_b = disc_apply(d_params, b)
 
     ones = [[jnp.ones_like(f) for f in feats] for feats in outs_a]
     zeros = [[jnp.zeros_like(f) for f in feats] for feats in outs_a]
@@ -89,19 +98,17 @@ def test_gan_loss_semantics(disc_and_params):
     assert float(feature_matching_loss(outs_a, outs_b)) > 0.0
 
 
-def test_adversarial_step_updates_both_nets_and_shards(disc_and_params):
-    """One jitted adversarial step: both nets move, metrics are finite,
-    and the SAME step function under a dp mesh reproduces the replicated
-    metrics (GSPMD inserts the gradient psums).  One test so the
-    expensive step compile is paid for a single batch shape."""
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
+def test_adversarial_step_updates_both_nets(disc_and_params):
+    """One jitted adversarial step: both nets move and metrics are
+    finite. The dp-mesh parity leg lives in the slow-marked test below
+    (one full GSPMD recompile, ~2-3 min on this 1-core box) and is also
+    exercised by the driver's dryrun_multichip every round."""
     gen = _tiny_gen()
     disc, d_params = disc_and_params
     audio = jnp.asarray(
         (np.random.RandomState(2).randn(4, 1, 2048) * 0.1).astype(np.float32)
     )
-    g_params = gen.init(jax.random.PRNGKey(0), audio)
+    g_params = jax.jit(gen.init)(jax.random.PRNGKey(0), audio)
     g_opt = optax.adam(1e-4)
     d_opt = optax.adam(1e-4)
     step = jax.jit(make_adversarial_train_step(gen, disc, g_opt, d_opt, 16000))
@@ -131,7 +138,28 @@ def test_adversarial_step_updates_both_nets_and_shards(disc_and_params):
     ):
         assert float(jnp.abs(old_leaf - new_leaf).max()) > 0
 
-    # the dp-sharded step reproduces the replicated metrics
+@pytest.mark.slow
+def test_adversarial_step_shards_match_replicated(disc_and_params):
+    """The SAME adversarial step function under a dp mesh reproduces the
+    replicated metrics (GSPMD inserts the gradient psums). Slow-marked:
+    the sharded compile is a full second GSPMD compile of the
+    two-optimizer program; the driver's dryrun_multichip also runs this
+    path every round."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    gen = _tiny_gen()
+    disc, d_params = disc_and_params
+    audio = jnp.asarray(
+        (np.random.RandomState(2).randn(4, 1, 2048) * 0.1).astype(np.float32)
+    )
+    g_params = jax.jit(gen.init)(jax.random.PRNGKey(0), audio)
+    g_opt = optax.adam(1e-4)
+    d_opt = optax.adam(1e-4)
+    step = jax.jit(make_adversarial_train_step(gen, disc, g_opt, d_opt, 16000))
+    _, _, _, _, metrics = step(
+        g_params, d_params, g_opt.init(g_params), d_opt.init(d_params), audio
+    )
+
     mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
     audio_s = jax.device_put(audio, NamedSharding(mesh, P("dp", None, None)))
     rep = NamedSharding(mesh, P())

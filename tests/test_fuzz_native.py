@@ -153,3 +153,96 @@ def test_wav_hostile_headers(tmp_path):
             assert data.size <= 1 << 20, f"case {i}"
         except _OK_ERRORS:
             pass
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r2 #8: extend the sweep beyond WAV/FLAC — the AMR-NB ACELP
+# bitstream (in-package pure-numpy decoder, io/amrnb.py) and the
+# MP3/Vorbis read paths (our ctypes wrappers around mpg123/vorbisfile;
+# the C libs have their own fuzz history, the wrapper glue does not).
+# ---------------------------------------------------------------------------
+
+
+def test_amrnb_bitstream_mutation_fuzz():
+    """Every mutation of a valid ATNB stream must decode to bounded
+    finite-or-rejected output or raise a clean exception — never crash,
+    hang, or over-allocate (the decoder validates header/payload
+    consistency before touching frame data)."""
+    from audiotools_tpu.io import amrnb
+
+    t = np.arange(8000) / 8000.0
+    base = amrnb.encode(
+        (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    )
+    rng = np.random.RandomState(0xA3B)
+    for _ in range(150):
+        blob = _mutate(base, rng)
+        try:
+            out = amrnb.decode(blob)
+        except _OK_ERRORS:
+            continue
+        # decoded garbage is fine; it must just be bounded and sane
+        assert out.size <= 1 << 22
+        assert out.dtype == np.float32
+        assert np.all(np.abs(out[np.isfinite(out)]) <= 1.0)
+
+
+def test_amrnb_hostile_headers():
+    """Hand-built hostile headers: absurd sample counts must be rejected
+    before allocation, zero counts decode to empty, short payloads fail
+    cleanly."""
+    from audiotools_tpu.io import amrnb
+
+    magic = b"ATNB"
+    cases = [
+        b"",                                   # empty
+        b"AT",                                 # short magic
+        b"XXXX" + b"\x00" * 8,                # wrong magic
+        magic,                                 # magic only
+        magic + b"\xff\xff\xff\xff",          # u32-max samples, no payload
+        magic + struct.pack("<I", 1 << 31),    # 2^31 samples, no payload
+        magic + struct.pack("<I", 160),        # one frame promised, none given
+    ]
+    for i, blob in enumerate(cases):
+        if blob[:4] == magic and len(blob) >= 8 and struct.unpack(
+            "<I", blob[4:8]
+        )[0] == 0:
+            assert amrnb.decode(blob).size == 0
+            continue
+        with pytest.raises(_OK_ERRORS):
+            amrnb.decode(blob)
+
+    # zero-sample stream is valid and empty
+    assert amrnb.decode(magic + struct.pack("<I", 0)).size == 0
+
+
+def _fuzz_via_load(tmp_path, base: bytes, suffix: str, n: int, seed: int):
+    rng = np.random.RandomState(seed)
+    path = tmp_path / f"fuzz{suffix}"
+    for _ in range(n):
+        path.write_bytes(_mutate(base, rng))
+        try:
+            data, _ = load_audio(path, duration=1.0)
+            assert data.size <= 1 << 22
+        except _OK_ERRORS:
+            pass
+
+
+def test_mp3_mutation_fuzz(tmp_path):
+    from audiotools_tpu.io import codecs
+
+    if not codecs.mp3_available():
+        pytest.skip("mpg123/lame unavailable")
+    ref = tmp_path / "base.mp3"
+    codecs.write_mp3(ref, _sig(), 8000)
+    _fuzz_via_load(tmp_path, ref.read_bytes(), ".mp3", 80, 0xB01)
+
+
+def test_ogg_mutation_fuzz(tmp_path):
+    from audiotools_tpu.io import codecs
+
+    if not (codecs.vorbis_available() and codecs.vorbis_encode_available()):
+        pytest.skip("libvorbis unavailable")
+    ref = tmp_path / "base.ogg"
+    codecs.write_ogg(ref, _sig(), 8000)
+    _fuzz_via_load(tmp_path, ref.read_bytes(), ".ogg", 80, 0xB02)
