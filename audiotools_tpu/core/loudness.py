@@ -94,18 +94,45 @@ class LoudnessMixin:
     """Minimum loudness possible."""
 
     def loudness(
-        self, filter_class: str = "K-weighting", block_size: float = 0.400, **kwargs
+        self,
+        filter_class: str = "K-weighting",
+        block_size: float = 0.400,
+        mesh=None,
+        axis_name: str = "sp",
+        **kwargs,
     ):
         """Integrated gated loudness per ITU-R BS.1770-4, cached on the
-        signal (reference loudness.py:268-320). Returns shape ``(nb,)``."""
+        signal (reference loudness.py:268-320). Returns shape ``(nb,)``.
+
+        ``mesh``: a ``jax.sharding.Mesh`` routes the meter through the
+        sequence-parallel path (``parallel.timeshard.sharded_loudness``)
+        for signals time-sharded over ``mesh[axis_name]`` — both BS.1770
+        gates run with one psum round each, matching this method's
+        single-device numerics (see docs/tutorials/long_signals.md).
+        """
         if self._loudness is not None:
             return self._loudness
-        loudness = loudness_ops.loudness(
-            self.audio_data,
-            self.sample_rate,
-            filter_class=filter_class,
-            block_size=block_size,
-            **kwargs,
-        )
+        if mesh is not None:
+            from ..parallel.timeshard import sharded_loudness
+
+            loudness = jnp.maximum(
+                sharded_loudness(
+                    self.audio_data,
+                    self.sample_rate,
+                    mesh,
+                    axis_name=axis_name,
+                    filter_class=filter_class,
+                    block_size=block_size,
+                ),
+                loudness_ops.MIN_LOUDNESS,
+            )
+        else:
+            loudness = loudness_ops.loudness(
+                self.audio_data,
+                self.sample_rate,
+                filter_class=filter_class,
+                block_size=block_size,
+                **kwargs,
+            )
         self._loudness = loudness
         return self._loudness

@@ -1,4 +1,5 @@
 from .mesh import make_mesh
+from .signal_api import shard_signal
 from .timeshard import (
     sharded_fir_conv,
     sharded_frames,

@@ -49,3 +49,43 @@ def audio_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("audio")
     build_fixture_tree(root)
     return root
+
+
+# ---------------------------------------------------------------------------
+# line coverage (VERDICT r2 #9): in-repo sys.monitoring collector —
+# the image has no pytest-cov/coverage.py (see tests/_linecov.py)
+# ---------------------------------------------------------------------------
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--linecov",
+        action="store_true",
+        default=False,
+        help="collect line coverage for audiotools_tpu/ (sys.monitoring)",
+    )
+    parser.addoption(
+        "--linecov-fail-under",
+        type=float,
+        default=None,
+        help="fail the run if total line coverage is below this percent",
+    )
+
+
+def pytest_configure(config):
+    if config.getoption("--linecov"):
+        from tests import _linecov
+
+        _linecov.start()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    config = session.config
+    if config.getoption("--linecov"):
+        from tests import _linecov
+
+        _, failed = _linecov.report(
+            fail_under=config.getoption("--linecov-fail-under")
+        )
+        if failed and exitstatus == 0:
+            session.exitstatus = 1
