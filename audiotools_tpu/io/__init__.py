@@ -2,9 +2,12 @@
 
 WAV is decoded natively (`wav.py`), FLAC through the native C++ codec
 (`native/flacio.cpp`), MP3/Ogg through system codec libraries
-(`codecs.py`); other formats raise with a clear message (the reference
-shells out to ffmpeg/librosa for those:
-/root/reference/audiotools/core/ffmpeg.py:149-211).
+(`codecs.py`). Anything else — mp4/m4a/webm/mkv/aac/opus, including the
+audio tracks of video containers — decodes through the in-package libav
+shim (`native/avio.cpp`, linking the system libavformat/libavcodec)
+when those libraries exist, matching the reach of the reference's
+ffmpeg-subprocess path (/root/reference/audiotools/core/ffmpeg.py:149-211)
+without requiring the ffmpeg binary.
 """
 from pathlib import Path
 
@@ -47,9 +50,23 @@ def audio_info(path):
             data_offset=0,
             data_size=0,
         )
+    from .. import native
+
+    if native.av_available():
+        sr, frames, ch, _codec = native.av_info(path)
+        return WavInfo(
+            sample_rate=sr,
+            num_frames=frames,
+            num_channels=ch,
+            bits_per_sample=16,
+            format_tag=0,
+            data_offset=0,
+            data_size=0,
+        )
     raise ValueError(
         f"Unsupported audio format '{path.suffix}'. "
-        "Native support: .wav, .flac, .mp3, .ogg."
+        "Native support: .wav, .flac, .mp3, .ogg; other containers "
+        "need the system libavformat/libavcodec libraries."
     )
 
 
@@ -82,9 +99,14 @@ def load_audio(path, offset: float = 0.0, duration: float = None):
         from . import codecs
 
         return codecs.read_ogg(path, offset=offset, duration=duration)
+    from .. import native
+
+    if native.av_available():
+        return native.read_av(path, offset=offset, duration=duration)
     raise ValueError(
         f"Unsupported audio format '{path.suffix}'. "
-        "Native support: .wav, .flac, .mp3, .ogg."
+        "Native support: .wav, .flac, .mp3, .ogg; other containers "
+        "need the system libavformat/libavcodec libraries."
     )
 
 
@@ -107,7 +129,12 @@ def save_audio(path, data: np.ndarray, sample_rate: int, subtype: str = "PCM_16"
         from . import codecs
 
         return codecs.write_ogg(path, data, sample_rate)
+    from .. import native
+
+    if native.av_available():
+        return native.write_av(path, data, sample_rate)
     raise ValueError(
         f"Unsupported audio format '{path.suffix}'. "
-        "Native write support: .wav, .flac, .mp3, .ogg."
+        "Native write support: .wav, .flac, .mp3, .ogg; other containers "
+        "need the system libavformat/libavcodec libraries."
     )

@@ -347,3 +347,162 @@ def write_flac(path, data, sample_rate: int, bits: int = 16):
     if rc != 0:
         raise ValueError(f"FLAC encode failed for {path}")
     return path
+
+
+# ---------------------------------------------------------------------------
+# libav container decode (avio.cpp -> libatavio.so) — mp4/m4a/webm/mkv/
+# aac/opus/... via the system libavformat/libavcodec shared libraries
+# (present on most hosts even without the ffmpeg binary; the reference
+# reaches these formats through an ffmpeg subprocess,
+# reference core/ffmpeg.py:149-211).
+# ---------------------------------------------------------------------------
+
+_AV_LIB_PATH = _HERE / "libatavio.so"
+_AV_SRC = _HERE / "avio.cpp"
+_av_lib = None
+_av_tried = False
+
+
+def _build_av() -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        str(_AV_SRC), "-o", str(_AV_LIB_PATH),
+        "-lavformat", "-lavcodec", "-lavutil",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired):
+        return False
+
+
+def get_av_library():
+    """Load (building if needed) the libav shim, or None when either the
+    compiler or the libav shared libraries are absent."""
+    global _av_lib, _av_tried
+    with _lock:
+        if _av_lib is not None or _av_tried:
+            return _av_lib
+        _av_tried = True
+        if (
+            not _AV_LIB_PATH.exists()
+            or _AV_LIB_PATH.stat().st_mtime < _AV_SRC.stat().st_mtime
+        ):
+            if not _build_av():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_AV_LIB_PATH))
+        except OSError:
+            return None
+        lib.at_av_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p,
+            ctypes.c_int32,
+        ]
+        lib.at_av_info.restype = ctypes.c_int
+        lib.at_av_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.at_av_read.restype = ctypes.c_int64
+        lib.at_av_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.at_av_free.restype = None
+        lib.at_av_write.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int64,
+        ]
+        lib.at_av_write.restype = ctypes.c_int
+        _av_lib = lib
+        return _av_lib
+
+
+def av_available() -> bool:
+    return get_av_library() is not None
+
+
+def av_info(path):
+    """(sample_rate, num_frames, channels, codec_name) of the best audio
+    stream in any libav-readable container (frame count from the
+    container duration — authoritative only post-decode)."""
+    lib = get_av_library()
+    if lib is None:
+        raise RuntimeError("libav shim unavailable")
+    sr = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    codec = ctypes.create_string_buffer(32)
+    rc = lib.at_av_info(
+        str(path).encode(), ctypes.byref(sr), ctypes.byref(frames),
+        ctypes.byref(ch), codec, len(codec),
+    )
+    if rc != 0:
+        raise ValueError(f"libav could not open an audio stream in: {path}")
+    return sr.value, frames.value, ch.value, codec.value.decode()
+
+
+def read_av(path, offset: float = 0.0, duration: float = None):
+    """Decode any libav-readable container -> ((C, T) float32, rate).
+
+    No resampling/remixing happens here — the stream's own rate and
+    channel count come back; rate conversion is the package's polyphase
+    resampler's job (on device).
+    """
+    lib = get_av_library()
+    if lib is None:
+        raise RuntimeError("libav shim unavailable")
+    out = ctypes.POINTER(ctypes.c_float)()
+    ch = ctypes.c_int32()
+    sr = ctypes.c_int32()
+    n = lib.at_av_read(
+        str(path).encode(),
+        float(offset or 0.0),
+        -1.0 if duration is None else float(duration),
+        ctypes.byref(out), ctypes.byref(ch), ctypes.byref(sr),
+    )
+    if n < 0:
+        raise ValueError(f"libav decode failed ({n}) for: {path}")
+    try:
+        if n == 0:
+            data = np.zeros((ch.value or 1, 0), dtype=np.float32)
+        else:
+            flat = np.ctypeslib.as_array(out, shape=(int(n) * ch.value,))
+            data = np.ascontiguousarray(
+                flat.reshape(int(n), ch.value).T.astype(np.float32)
+            )
+    finally:
+        lib.at_av_free(out)
+    return data, sr.value
+
+
+def write_av(path, data, sample_rate: int, bit_rate: int = 128000):
+    """Encode ``(C, T)`` float audio into a container chosen from the
+    path's extension, using the container's default audio codec
+    (``.m4a``/``.mp4`` -> AAC via FFmpeg's native encoder)."""
+    lib = get_av_library()
+    if lib is None:
+        raise RuntimeError("libav shim unavailable")
+    data = np.asarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        data = data[None, :]
+    C, T = data.shape
+    inter = np.ascontiguousarray(data.T.reshape(-1))
+    rc = lib.at_av_write(
+        str(path).encode(),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        T, C, int(sample_rate), int(bit_rate),
+    )
+    if rc != 0:
+        raise ValueError(f"libav encode failed ({rc}) for: {path}")
+    return path
