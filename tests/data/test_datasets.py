@@ -133,7 +133,13 @@ def test_dataset_collate_and_dataloader(audio_dir):
     assert len(batches) == 3
     batch = batches[0]
     assert batch["signal"].batch_size == 4
-    assert batch["transform_args"]["VolumeNorm"]["mask"].shape[0] == 4
+    # prob=1.0 masks collate to the static AlwaysTrue sentinel (the jit
+    # fast path); prob<1 masks stack to a (B,) bool array
+    from audiotools_tpu.core.util import AlwaysTrue
+
+    assert isinstance(
+        batch["transform_args"]["VolumeNorm"]["mask"], AlwaysTrue
+    )
     # transform applies on the batch
     out = ds.transform(batch["signal"].clone(), **batch["transform_args"])
     assert np.allclose(np.asarray(out.loudness()), -24, atol=0.5)
