@@ -16,7 +16,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-__all__ = ["device_time"]
+__all__ = ["device_time", "device_time_queued"]
 
 
 def _timed_loop(fn):
@@ -56,6 +56,44 @@ def device_time(fn, arg, iters: int = 10, warmup: bool = True) -> float:
     float(loop(arg, n1))
     t1 = time.perf_counter()
     float(loop(arg, n2))
+    t2 = time.perf_counter()
+    per_iter = ((t2 - t1) - (t1 - t0)) / iters
+    return max(per_iter, 1e-9)
+
+
+def device_time_queued(fn, arg, iters: int = 10, warmup: bool = True) -> float:
+    """Two-point timing without the ``fori_loop`` wrapper, for programs
+    whose loop form exceeds a remote-compile transport's upload cap
+    (observed: the full adversarial DAC step's looped HLO draws HTTP 413
+    from the axon tunnel).
+
+    The step runs as its own program, reduced on device to one scalar;
+    N and then 2N invocations are queued and synced by fetching only the
+    final scalar (per-device program execution is in-order, so that
+    fetch fences the whole queue). The N/2N difference cancels the final
+    fetch and warm-queue costs; each invocation's ~50 us local dispatch
+    (amortized queueing, not the per-fetch tunnel RTT) remains included,
+    which is negligible for the multi-millisecond training-step programs
+    this exists for.
+    """
+
+    @jax.jit
+    def step(a):
+        leaves = jax.tree_util.tree_leaves(fn(a))
+        return sum(jnp.sum(jnp.real(l)).astype(jnp.float32) for l in leaves)
+
+    def run(n):
+        out = None
+        for _ in range(n):
+            out = step(arg)
+        return float(out)
+
+    if warmup:
+        run(2)
+    t0 = time.perf_counter()
+    run(iters)
+    t1 = time.perf_counter()
+    run(2 * iters)
     t2 = time.perf_counter()
     per_iter = ((t2 - t1) - (t1 - t0)) / iters
     return max(per_iter, 1e-9)

@@ -79,13 +79,25 @@ def pytest_configure(config):
         _linecov.start()
 
 
+# The fail-under gate only arms on (near-)full suite runs: a armed gate
+# in pytest.ini addopts must not fail `pytest tests/core/test_x.py`
+# dev runs, whose coverage is legitimately partial.
+_LINECOV_GATE_MIN_ITEMS = 450
+
+
 def pytest_sessionfinish(session, exitstatus):
     config = session.config
     if config.getoption("--linecov"):
         from tests import _linecov
 
-        _, failed = _linecov.report(
-            fail_under=config.getoption("--linecov-fail-under")
-        )
+        fail_under = config.getoption("--linecov-fail-under")
+        n_items = getattr(session, "testscollected", 0)
+        if fail_under is not None and n_items < _LINECOV_GATE_MIN_ITEMS:
+            print(
+                f"\nlinecov gate skipped: partial run ({n_items} tests "
+                f"< {_LINECOV_GATE_MIN_ITEMS}); coverage still reported"
+            )
+            fail_under = None
+        _, failed = _linecov.report(fail_under=fail_under)
         if failed and exitstatus == 0:
             session.exitstatus = 1

@@ -25,7 +25,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from audiotools_tpu.models import DAC, Discriminator
 from audiotools_tpu.models.adversarial import make_adversarial_train_step
-from audiotools_tpu.ops.benchmark import device_time
+from audiotools_tpu.ops.benchmark import device_time_queued
 
 B, T, SR = 16, 16896, 44100
 print("platform:", jax.devices()[0].platform, flush=True)
@@ -64,7 +64,9 @@ def timed_step(a):
     return mm["loss"], g2, d2
 
 
-t_step = device_time(timed_step, audio, iters=5)
+# the fori_loop-wrapped adversarial HLO exceeds the tunnel's
+# remote-compile upload cap (HTTP 413) — time the single-step program
+t_step = device_time_queued(timed_step, audio, iters=5)
 clips_ps = B / t_step
 print(
     f"adversarial train step: {t_step*1e3:.1f} ms  ({clips_ps:.1f} clips/s, "

@@ -46,3 +46,26 @@ def test_profiling_annotate_runs():
     with profiling.annotate("test-region"):
         out = float(jnp.sum(jnp.arange(16)))
     assert out == 120.0
+
+
+def test_device_time_queued_matches_loop_method():
+    """The queued two-point method (for programs whose looped HLO
+    exceeds the tunnel's upload cap) must agree with the fori_loop
+    method within noise on a compute-bound op."""
+    from audiotools_tpu.ops.benchmark import device_time, device_time_queued
+
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(256, 256).astype(np.float32)
+    )
+
+    def op(a):
+        for _ in range(8):
+            a = jnp.tanh(a @ a.T) * 0.1
+        return a
+
+    t_loop = device_time(op, x, iters=20)
+    t_q = device_time_queued(op, x, iters=20)
+    assert t_q > 0
+    # generous envelope: queued includes ~us-scale dispatch per call
+    assert t_q < t_loop * 5 + 5e-3
+    assert t_loop < t_q * 5 + 5e-3
