@@ -182,6 +182,48 @@ def _dft_matrices(window_type: str, n_fft: int):
     return C, S
 
 
+def _dft_matrices_device(window_type: str, n_fft: int):
+    """On-device construction of the same window-fused DFT matrices as
+    :func:`_dft_matrices`, from two iotas instead of an embedded literal.
+
+    A (2048, 1025) f32 cos+sin pair is ~17 MB of HLO constant; programs
+    stacking several scales (multi-scale losses + discriminator
+    spectrograms) overflowed the tunneled remote-compile transport's
+    upload cap (HTTP 413). Built on device the matrices cost a few dozen
+    HLO ops; XLA constant-folds them at compile time on the server.
+
+    Precision: the phase is reduced exactly in int32 (``n*k mod n_fft``,
+    products < 2^31 for any n_fft <= 46341) so the f32 cos/sin sees only
+    arguments in (-2*pi, 0] — matching the float64-host matrices to
+    ~4e-7 absolute, far below the matmul path's own ~1e-5 envelope.
+    """
+    n_freq = n_fft // 2 + 1
+    w = jnp.asarray(get_window(window_type, n_fft).astype(np.float32))
+    n = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_freq), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_freq), 1)
+    ang = (-2.0 * np.pi / n_fft) * ((n * k) % n_fft).astype(jnp.float32)
+    C = jnp.cos(ang) * w[:, None]
+    S = jnp.sin(ang) * w[:, None]
+    return C, S
+
+
+def _idft_matrices_device(window_type: str, n_fft: int):
+    """On-device counterpart of :func:`_idft_matrices` (see
+    :func:`_dft_matrices_device` for why)."""
+    n_freq = n_fft // 2 + 1
+    w = jnp.asarray(get_window(window_type, n_fft).astype(np.float32))
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_freq, n_fft), 0)
+    n = jax.lax.broadcasted_iota(jnp.int32, (n_freq, n_fft), 1)
+    ang = (2.0 * np.pi / n_fft) * ((k * n) % n_fft).astype(jnp.float32)
+    scale = jnp.full((n_freq, 1), 2.0, jnp.float32)
+    scale = scale.at[0].set(1.0)
+    if n_fft % 2 == 0:
+        scale = scale.at[-1].set(1.0)
+    Ci = scale * jnp.cos(ang) * w[None, :] / n_fft
+    Si = -scale * jnp.sin(ang) * w[None, :] / n_fft
+    return Ci, Si
+
+
 def stft(
     audio: jnp.ndarray,
     window_length: int,
@@ -228,9 +270,9 @@ def stft(
             if method == "matmul"
             else jax.lax.Precision.DEFAULT
         )
-        C, S = _dft_matrices(window_type, window_length)
-        re = jnp.dot(frames, jnp.asarray(C), precision=prec)
-        im = jnp.dot(frames, jnp.asarray(S), precision=prec)
+        C, S = _dft_matrices_device(window_type, window_length)
+        re = jnp.dot(frames, C, precision=prec)
+        im = jnp.dot(frames, S, precision=prec)
         spec = jax.lax.complex(re, im)  # (B, n_frames, n_freq)
     elif method == "fft":
         window = jnp.asarray(get_window(window_type, window_length))
@@ -313,12 +355,12 @@ def istft(
             if method == "matmul"
             else jax.lax.Precision.DEFAULT
         )
-        Ci, Si = _idft_matrices(window_type, window_length)
+        Ci, Si = _idft_matrices_device(window_type, window_length)
         S = jnp.swapaxes(spec, -1, -2)  # (B, nt, n_freq)
         frames = jnp.dot(
-            jnp.real(S), jnp.asarray(Ci), precision=prec
+            jnp.real(S), Ci, precision=prec
         ) + jnp.dot(
-            jnp.imag(S), jnp.asarray(Si), precision=prec
+            jnp.imag(S), Si, precision=prec
         )  # (B, nt, n_fft), window already applied
     elif method == "fft":
         window = jnp.asarray(window_np)

@@ -346,7 +346,7 @@ def _stft_raw(
     method: str,
     mesh: Mesh,
 ):
-    from ..ops.fft import _dft_matrices, get_window
+    from ..ops.fft import _dft_matrices_device, get_window
 
     n_dev = mesh.shape[axis_name]
     cpad, T_shard, nf_local, n_valid, right = _stft_geometry(
@@ -354,9 +354,10 @@ def _stft_raw(
     )
     if method in ("matmul", "matmul_bf16"):
         # the window is fused into the DFT matrices; only the fft
-        # branch applies it explicitly
-        C, S = _dft_matrices(window_type, window_length)
-        C, S = jnp.asarray(C), jnp.asarray(S)
+        # branch applies it explicitly. Built on device from iotas —
+        # embedded literals this size overflow the tunneled
+        # remote-compile upload cap (ops/fft.py::_dft_matrices_device)
+        C, S = _dft_matrices_device(window_type, window_length)
         prec = (
             jax.lax.Precision.HIGH
             if method == "matmul"
@@ -453,7 +454,7 @@ def _istft_raw(
     method: str,
     mesh: Mesh,
 ):
-    from ..ops.fft import _idft_matrices, _overlap_add, get_window
+    from ..ops.fft import _idft_matrices_device, _overlap_add, get_window
 
     n_dev = mesh.shape[axis_name]
     nf_local = nf // n_dev
@@ -463,8 +464,7 @@ def _istft_raw(
     window_np = get_window(window_type, window_length)
     wsq = jnp.asarray((window_np * window_np).astype(np.float32))
     if method in ("matmul", "matmul_bf16"):
-        Ci, Si = _idft_matrices(window_type, window_length)
-        Ci, Si = jnp.asarray(Ci), jnp.asarray(Si)
+        Ci, Si = _idft_matrices_device(window_type, window_length)
         prec = (
             jax.lax.Precision.HIGH
             if method == "matmul"

@@ -29,6 +29,21 @@ SAMPLE_RATE = 44100
 BATCH = 64
 TARGET_RTF = 50.0
 
+# First committed value of each "measure & report" metric (BENCH_r02 /
+# this round for the train steps); later rounds ratio against these so a
+# kernel regression is visible in the JSON itself (VERDICT r2 weak #6).
+MEASURED_BASELINES = {
+    "stft_mel_throughput_b64_5s_matmul": 6.57,  # GB/s, BENCH_r02
+    "lufs_meter_rtf_b64_5s_fast_meter": 109287.0,  # x realtime, BENCH_r02
+    "dac_train_step_b16_clips_per_sec": None,  # established this round
+    "adversarial_train_step_b16_clips_per_sec": None,  # established this round
+}
+
+
+def _vs(metric, value):
+    base = MEASURED_BASELINES.get(metric)
+    return round(value / base, 2) if base else 1.0
+
 
 def main():
     import jax
@@ -232,7 +247,7 @@ def main():
                 "metric": "stft_mel_throughput_b64_5s_matmul",
                 "value": round(gbps, 2),
                 "unit": "GB/s input",
-                "vs_baseline": 1.0,  # "measure & report": no prior art
+                "vs_baseline": _vs("stft_mel_throughput_b64_5s_matmul", gbps)
             }
         ),
         flush=True,
@@ -249,7 +264,85 @@ def main():
                 "metric": "lufs_meter_rtf_b64_5s_fast_meter",
                 "value": round(lufs_rtf, 0),
                 "unit": "x realtime",
-                "vs_baseline": 1.0,  # "measure & report": no prior art
+                "vs_baseline": _vs("lufs_meter_rtf_b64_5s_fast_meter", lufs_rtf)
+            }
+        ),
+        flush=True,
+    )
+
+    # ---- BASELINE config 5: the DAC codec-training loop (VERDICT r2 #1) ----
+    # Full-size published-architecture models, batch 16 x 0.38 s @ 44.1 kHz
+    # (16764 samples = 33 frames x 512-hop, padded to 16896): (a) the
+    # reconstruction step (multi-scale STFT + mel + SI-SDR + VQ losses,
+    # fwd+bwd+adamw) and (b) the adversarial two-optimizer step adding the
+    # MPD(2/3/5/7/11)+MRD(2048/1024/512) ensemble with LSGAN + feature
+    # matching. Same quantities as tests/hw/hw_dac_step.py / hw_adv_step.py.
+    import optax
+
+    from audiotools_tpu.models import DAC, Discriminator
+    from audiotools_tpu.models.adversarial import make_adversarial_train_step
+    from audiotools_tpu.models.train import make_train_step
+
+    TB, TT = 16, 16896
+    train_audio = jnp.asarray(
+        (np.random.RandomState(1).randn(TB, 1, TT) * 0.1).astype(np.float32)
+    )
+    gen = DAC()
+    g_params = jax.jit(gen.init)(jax.random.PRNGKey(0), train_audio[:1])
+    g_opt = optax.adamw(1e-4)
+    g_state = g_opt.init(g_params)
+
+    dac_step = make_train_step(gen, g_opt, SAMPLE_RATE)
+
+    def timed_dac_step(a):
+        # consume the updated params so XLA cannot dead-code-eliminate
+        # the backward pass + optimizer update
+        p2, _, m = dac_step(g_params, g_state, a)
+        return m["loss"], p2
+
+    t_dac = device_time(timed_dac_step, train_audio, iters=5)
+    dac_cps = TB / t_dac
+    print(
+        json.dumps(
+            {
+                "metric": "dac_train_step_b16_clips_per_sec",
+                "value": round(dac_cps, 2),
+                "unit": f"clips/s ({t_dac*1e3:.1f} ms/step, "
+                f"{dac_cps * (TT / SAMPLE_RATE):.1f}x realtime, b16 x 0.38s)",
+                "vs_baseline": _vs("dac_train_step_b16_clips_per_sec", dac_cps),
+            }
+        ),
+        flush=True,
+    )
+
+    disc = Discriminator()
+    d_params = jax.jit(disc.init)(jax.random.PRNGKey(1), train_audio[:1])
+    d_opt = optax.adamw(1e-4)
+    d_state = d_opt.init(d_params)
+    adv_step = make_adversarial_train_step(gen, disc, g_opt, d_opt, SAMPLE_RATE)
+
+    def timed_adv_step(a):
+        g2, d2, _, _, m = adv_step(g_params, d_params, g_state, d_state, a)
+        return m["loss"], g2, d2
+
+    # the adversarial step's fori_loop-wrapped HLO exceeds the tunneled
+    # remote-compile upload cap (HTTP 413); the queued two-point method
+    # times the single-step program instead (ops/benchmark.py)
+    from audiotools_tpu.ops.benchmark import device_time_queued
+
+    t_adv = device_time_queued(timed_adv_step, train_audio, iters=5)
+    adv_cps = TB / t_adv
+    print(
+        json.dumps(
+            {
+                "metric": "adversarial_train_step_b16_clips_per_sec",
+                "value": round(adv_cps, 2),
+                "unit": f"clips/s ({t_adv*1e3:.1f} ms/step, "
+                f"{adv_cps * (TT / SAMPLE_RATE):.1f}x realtime, b16 x 0.38s, "
+                f"MPD+MRD two-optimizer step)",
+                "vs_baseline": _vs(
+                    "adversarial_train_step_b16_clips_per_sec", adv_cps
+                ),
             }
         ),
         flush=True,
