@@ -182,46 +182,91 @@ def _dft_matrices(window_type: str, n_fft: int):
     return C, S
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_half_literals(n_fft: int):
+    """Float64-computed cos/sin of ``-2*pi*n*k/n_fft`` for the FIRST HALF
+    of the time rows (``n = 0..n_fft/2``), cast to f32 — the embeddable
+    half of the real-DFT matrices (see :func:`_dft_matrices_device`).
+
+    Returned as *device* arrays created once per process: closing over
+    the SAME jax.Array object at every call site makes all of them share
+    one constvar in the trace, so a program computing many STFTs (the
+    multi-scale losses call stft 4+ times) embeds each matrix ONCE — the
+    per-site ``jnp.asarray(np_array)`` pattern embedded a fresh copy per
+    site (measured: 8 copies in the DAC train step, 33.6 MB of 20 MB
+    total upload).
+    """
+    n = np.arange(n_fft // 2 + 1)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    # ensure_compile_time_eval: the first call may happen INSIDE a trace,
+    # and a cached tracer would leak out of it (UnexpectedTracerError on
+    # the next trace) — force concrete device arrays regardless
+    with jax.ensure_compile_time_eval():
+        return (
+            jnp.asarray(np.cos(ang).astype(np.float32)),
+            jnp.asarray(np.sin(ang).astype(np.float32)),
+        )
+
+
 def _dft_matrices_device(window_type: str, n_fft: int):
-    """On-device construction of the same window-fused DFT matrices as
-    :func:`_dft_matrices`, from two iotas instead of an embedded literal.
+    """Window-fused real-DFT matrices, assembled on device from
+    half-size literals via the ``n -> n_fft - n`` DFT symmetry.
 
     A (2048, 1025) f32 cos+sin pair is ~17 MB of HLO constant; programs
     stacking several scales (multi-scale losses + discriminator
     spectrograms) overflowed the tunneled remote-compile transport's
-    upload cap (HTTP 413). Built on device the matrices cost a few dozen
-    HLO ops; XLA constant-folds them at compile time on the server.
-
-    Precision: the phase is reduced exactly in int32 (``n*k mod n_fft``,
-    products < 2^31 for any n_fft <= 46341) so the f32 cos/sin sees only
-    arguments in (-2*pi, 0] — matching the float64-host matrices to
-    ~4e-7 absolute, far below the matmul path's own ~1e-5 envelope.
+    ~20 MB upload cap (HTTP 413). Rebuilding the matrices from iotas +
+    cos/sin shrinks the program but costs ~2 ms of VPU transcendentals
+    per invocation on v5e (XLA-TPU does not constant-fold them). The
+    mirror trick gets both: only rows ``n = 0..n_fft/2`` are embedded
+    (``cos``/``sin`` rows for ``n > n_fft/2`` equal the reflected row,
+    sin with a sign flip), and the on-device completion is one reverse +
+    concat + window multiply — pure data movement, ~free. Values match
+    the full float64-computed literals to 1 ulp.
     """
-    n_freq = n_fft // 2 + 1
-    w = jnp.asarray(get_window(window_type, n_fft).astype(np.float32))
-    n = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_freq), 0)
-    k = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_freq), 1)
-    ang = (-2.0 * np.pi / n_fft) * ((n * k) % n_fft).astype(jnp.float32)
-    C = jnp.cos(ang) * w[:, None]
-    S = jnp.sin(ang) * w[:, None]
-    return C, S
+    w = _window_device(window_type, n_fft)
+    Ch, Sh = _dft_half_literals(n_fft)
+    # rows n_fft/2+1 .. n_fft-1  ==  rows n_fft/2-1 .. 1 reflected
+    C = jnp.concatenate([Ch, Ch[1 : n_fft // 2][::-1]], axis=0)
+    S = jnp.concatenate([Sh, -Sh[1 : n_fft // 2][::-1]], axis=0)
+    return C * w[:, None], S * w[:, None]
+
+
+@functools.lru_cache(maxsize=None)
+def _window_device(window_type: str, n_fft: int):
+    """Per-process device copy of the analysis window (shared constvar
+    across call sites, like :func:`_dft_half_literals`)."""
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(get_window(window_type, n_fft).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_half_literals(n_fft: int):
+    """Half-time-column inverse-DFT literals: ``scale * cos/sin(ang) /
+    n_fft`` for ``n = 0..n_fft/2``, as per-process device arrays
+    (see :func:`_idft_matrices_device` / :func:`_dft_half_literals`)."""
+    k = np.arange(n_fft // 2 + 1)[:, None]
+    n = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    scale = np.full((n_fft // 2 + 1, 1), 2.0)
+    scale[0] = 1.0
+    if n_fft % 2 == 0:
+        scale[-1] = 1.0
+    Ci = (scale * np.cos(ang) / n_fft).astype(np.float32)
+    Si = (-scale * np.sin(ang) / n_fft).astype(np.float32)
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(Ci), jnp.asarray(Si)
 
 
 def _idft_matrices_device(window_type: str, n_fft: int):
-    """On-device counterpart of :func:`_idft_matrices` (see
-    :func:`_dft_matrices_device` for why)."""
-    n_freq = n_fft // 2 + 1
-    w = jnp.asarray(get_window(window_type, n_fft).astype(np.float32))
-    k = jax.lax.broadcasted_iota(jnp.int32, (n_freq, n_fft), 0)
-    n = jax.lax.broadcasted_iota(jnp.int32, (n_freq, n_fft), 1)
-    ang = (2.0 * np.pi / n_fft) * ((k * n) % n_fft).astype(jnp.float32)
-    scale = jnp.full((n_freq, 1), 2.0, jnp.float32)
-    scale = scale.at[0].set(1.0)
-    if n_fft % 2 == 0:
-        scale = scale.at[-1].set(1.0)
-    Ci = scale * jnp.cos(ang) * w[None, :] / n_fft
-    Si = -scale * jnp.sin(ang) * w[None, :] / n_fft
-    return Ci, Si
+    """Window-fused inverse real-DFT matrices from half-size literals
+    (mirror along the time axis; see :func:`_dft_matrices_device`)."""
+    w = _window_device(window_type, n_fft)
+    Cih, Sih = _idft_half_literals(n_fft)
+    Ci = jnp.concatenate([Cih, Cih[:, 1 : n_fft // 2][:, ::-1]], axis=1)
+    Si = jnp.concatenate([Sih, -Sih[:, 1 : n_fft // 2][:, ::-1]], axis=1)
+    return Ci * w[None, :], Si * w[None, :]
 
 
 def stft(
