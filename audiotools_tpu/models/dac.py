@@ -43,33 +43,114 @@ class Snake(nn.Module):
         return snake(x, alpha.astype(x.dtype))
 
 
-class ResidualUnit(nn.Module):
-    """Dilated residual unit: snake -> dilated conv(7) -> snake -> conv(1)."""
+class _ShiftedConv(nn.Module):
+    """SAME-padded odd-kernel 1-D conv as k statically-shifted matmuls.
 
-    dim: int
-    dilation: int = 1
+    Parameter tree is identical to ``nn.Conv``'s (``kernel`` of shape
+    ``(k, in, out)`` + ``bias``), so a module can swap formulations over
+    the same checkpoint. Rationale (measured, tests/hw/hw_resunit_matmul.py,
+    v5e): expressing the k=7 dilated conv as shifted ``(T, C) @ (C, C)``
+    dots makes the *forward* slower than XLA's conv lowering, but the
+    autodiff backward — plain matmul transposes instead of XLA's
+    conv-transpose gradient — is enough faster that fwd+bwd wins. Hence
+    ``ResidualUnit`` only uses this under ``formulation="matmul"``, which
+    the training step opts into; inference keeps the conv lowering.
+    """
+
+    features: int
+    kernel_size: int
+    kernel_dilation: int = 1
+    kernel_init: Any = nn.initializers.lecun_normal()
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        k = self.kernel_size
+        if k % 2 != 1:
+            raise ValueError("_ShiftedConv supports odd kernel sizes only")
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = self.dtype if self.dtype is not None else x.dtype
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        acc = bias.astype(dtype)
+        if k == 1:
+            return jnp.einsum("btc,cf->btf", x, kernel[0]) + acc
+        pad = (k // 2) * self.kernel_dilation
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        T = x.shape[1]
+        for i in range(k):
+            # static start index -> a plain slice, never a gather
+            acc = acc + jnp.einsum(
+                "btc,cf->btf",
+                jax.lax.dynamic_slice_in_dim(xp, i * self.kernel_dilation, T, 1),
+                kernel[i],
+            )
+        return acc
+
+
+class ResidualUnit(nn.Module):
+    """Dilated residual unit: snake -> dilated conv(7) -> snake -> conv(1).
+
+    ``formulation="matmul"`` lowers both convs as shifted matmuls (same
+    parameter tree; see ``_ShiftedConv``) — faster under ``jax.grad``,
+    slower forward-only, so training opts in and inference does not.
+    """
+
+    dim: int
+    dilation: int = 1
+    dtype: Any = None
+    formulation: str = "conv"
+
+    def _use_matmul(self):
+        # "hybrid": shifted matmuls only at the narrow stages (C<=64),
+        # where the sequence is long and XLA's conv backward is at its
+        # worst (v5e: 12.8 -> 11.3 ms fwd+bwd for the C=64 unit chain,
+        # tests/hw/hw_resunit_matmul.py); the wide stages keep the conv
+        # lowering, which wins there (93 ms vs 68 ms full step when
+        # matmul is forced everywhere, tests/hw/hw_resunit_step.py).
+        return self.formulation == "matmul" or (
+            self.formulation == "hybrid" and self.dim <= 64
+        )
+
+    @nn.compact
+    def __call__(self, x):
         y = Snake(self.dim)(x)
-        y = nn.Conv(
-            self.dim,
-            kernel_size=(7,),
-            kernel_dilation=(self.dilation,),
-            padding="SAME",
-            dtype=self.dtype,
-        )(y)
+        if self._use_matmul():
+            y = _ShiftedConv(
+                self.dim, 7, self.dilation, dtype=self.dtype, name="Conv_0"
+            )(y)
+        else:
+            y = nn.Conv(
+                self.dim,
+                kernel_size=(7,),
+                kernel_dilation=(self.dilation,),
+                padding="SAME",
+                dtype=self.dtype,
+                name="Conv_0",
+            )(y)
         y = Snake(self.dim)(y)
         # near-zero init on the residual projection keeps the unit close
         # to identity at init (activation variance doesn't compound
         # through the stack) while still passing gradients everywhere
-        y = nn.Conv(
-            self.dim,
-            kernel_size=(1,),
-            kernel_init=nn.initializers.normal(1e-2),
-            dtype=self.dtype,
-        )(y)
+        if self._use_matmul():
+            y = _ShiftedConv(
+                self.dim,
+                1,
+                kernel_init=nn.initializers.normal(1e-2),
+                dtype=self.dtype,
+                name="Conv_1",
+            )(y)
+        else:
+            y = nn.Conv(
+                self.dim,
+                kernel_size=(1,),
+                kernel_init=nn.initializers.normal(1e-2),
+                dtype=self.dtype,
+                name="Conv_1",
+            )(y)
         return x + y
 
 
@@ -77,11 +158,15 @@ class EncoderBlock(nn.Module):
     dim: int
     stride: int
     dtype: Any = None
+    formulation: str = "conv"
 
     @nn.compact
     def __call__(self, x):
         for dilation in (1, 3, 9):
-            x = ResidualUnit(self.dim // 2, dilation, dtype=self.dtype)(x)
+            x = ResidualUnit(
+                self.dim // 2, dilation, dtype=self.dtype,
+                formulation=self.formulation,
+            )(x)
         x = Snake(self.dim // 2)(x)
         x = nn.Conv(
             self.dim,
@@ -97,6 +182,7 @@ class DecoderBlock(nn.Module):
     dim: int
     stride: int
     dtype: Any = None
+    formulation: str = "conv"
 
     @nn.compact
     def __call__(self, x):
@@ -109,7 +195,10 @@ class DecoderBlock(nn.Module):
             dtype=self.dtype,
         )(x)
         for dilation in (1, 3, 9):
-            x = ResidualUnit(self.dim, dilation, dtype=self.dtype)(x)
+            x = ResidualUnit(
+                self.dim, dilation, dtype=self.dtype,
+                formulation=self.formulation,
+            )(x)
         return x
 
 
@@ -118,6 +207,7 @@ class Encoder(nn.Module):
     strides: Sequence[int] = (2, 4, 8, 8)
     latent_dim: int = 256
     dtype: Any = None
+    formulation: str = "conv"
 
     @nn.compact
     def __call__(self, x):
@@ -128,7 +218,8 @@ class Encoder(nn.Module):
         x = nn.Conv(d, kernel_size=(7,), padding="SAME", dtype=self.dtype)(x)
         for stride in self.strides:
             d *= 2
-            x = EncoderBlock(d, stride, dtype=self.dtype)(x)
+            x = EncoderBlock(d, stride, dtype=self.dtype,
+                             formulation=self.formulation)(x)
         x = Snake(d)(x)
         x = nn.Conv(
             self.latent_dim, kernel_size=(3,), padding="SAME", dtype=self.dtype
@@ -141,6 +232,7 @@ class Decoder(nn.Module):
     d_model: int = 1024
     strides: Sequence[int] = (8, 8, 4, 2)
     dtype: Any = None
+    formulation: str = "conv"
 
     @nn.compact
     def __call__(self, z):
@@ -152,7 +244,8 @@ class Decoder(nn.Module):
         d = self.d_model
         for stride in self.strides:
             d //= 2
-            x = DecoderBlock(d, stride, dtype=self.dtype)(x)
+            x = DecoderBlock(d, stride, dtype=self.dtype,
+                             formulation=self.formulation)(x)
         x = Snake(d)(x)
         x = nn.Conv(1, kernel_size=(7,), padding="SAME", dtype=self.dtype)(x)
         x = jnp.tanh(x)
@@ -286,6 +379,10 @@ class DAC(BaseModel):
     """Compute dtype for encoder/decoder convs (e.g. ``jnp.bfloat16`` for
     mixed precision; params stay float32 and the quantizer/loss run in
     float32 regardless)."""
+    formulation: str = "conv"
+    """Residual-unit conv lowering: ``"conv"`` (XLA conv — fastest
+    forward-only) or ``"matmul"`` (shifted matmuls — fastest under
+    ``jax.grad``; same parameter tree, so checkpoints interchange)."""
 
     @property
     def hop_length(self):
@@ -294,14 +391,14 @@ class DAC(BaseModel):
     def setup(self):
         self.encoder = Encoder(
             self.encoder_dim, tuple(self.encoder_rates), self.latent_dim,
-            dtype=self.dtype,
+            dtype=self.dtype, formulation=self.formulation,
         )
         self.quantizer = ResidualVectorQuantize(
             self.latent_dim, self.n_codebooks, self.codebook_size, self.codebook_dim
         )
         self.decoder = Decoder(
             self.decoder_dim, tuple(reversed(self.encoder_rates)),
-            dtype=self.dtype,
+            dtype=self.dtype, formulation=self.formulation,
         )
 
     def __call__(self, audio: jnp.ndarray, n_quantizers: int = None):

@@ -287,7 +287,10 @@ def main():
     train_audio = jnp.asarray(
         (np.random.RandomState(1).randn(TB, 1, TT) * 0.1).astype(np.float32)
     )
-    gen = DAC()
+    # hybrid: shifted-matmul lowering for the narrow (C<=64) residual
+    # units only — their conv backward is XLA's worst case (v5e: 67.4 ms
+    # vs 69.6 conv / 91.9 all-matmul, tests/hw/hw_resunit_step.py)
+    gen = DAC(formulation="hybrid")
     g_params = jax.jit(gen.init)(jax.random.PRNGKey(0), train_audio[:1])
     g_opt = optax.adamw(1e-4)
     g_state = g_opt.init(g_params)

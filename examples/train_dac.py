@@ -79,6 +79,10 @@ def main(args):
         model = DAC(
             sample_rate=args.sample_rate,
             dtype=jnp.bfloat16 if args.amp else None,
+            # narrow stages as shifted matmuls: ~3% faster train step on
+            # v5e (tests/hw/hw_resunit_step.py); checkpoints interchange
+            # with the default conv formulation
+            formulation="hybrid",
         )
 
     dataset = make_dataset(args)

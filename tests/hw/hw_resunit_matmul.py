@@ -106,3 +106,11 @@ print(f"3 units conv fwd+bwd:   {ms(grad_conv, x):.3f} ms", flush=True)
 print(f"3 units matmul fwd+bwd: {ms(grad_mm, x):.3f} ms", flush=True)
 
 print("DONE", flush=True)
+
+# RESULT (v5e, 2026-08-18): matmul-vs-conv rel err 1.44e-04. 3 units
+# (C=64, T=16896) fwd: conv 5.90 ms / matmul 8.43 (conv wins forward);
+# fwd+bwd: conv 12.82 / matmul 11.29 (matmul wins 12% under grad — the
+# autodiff backward is plain matmul transposes, XLA's conv-transpose
+# gradient is the expensive part). Full-step consequences in
+# hw_resunit_step.py: forced everywhere it LOSES (wide stages), gated to
+# C<=64 ("hybrid") it wins ~3%.

@@ -173,6 +173,40 @@ def test_bf16_compute_dtype(tiny_params):
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
 
 
+def test_matmul_formulation_matches_conv(tiny_model, tiny_params):
+    """formulation="matmul" (residual-unit convs as shifted matmuls —
+    faster under jax.grad on v5e, see tests/hw/hw_resunit_step.py) shares
+    the conv formulation's exact parameter tree and matches its forward
+    to f32 roundoff, so checkpoints interchange between the two."""
+    mm = DAC(
+        encoder_dim=8, encoder_rates=(2, 4, 4), latent_dim=16,
+        decoder_dim=64, n_codebooks=2, codebook_size=32, codebook_dim=4,
+        sample_rate=16000, formulation="matmul",
+    )
+    audio = jnp.zeros((1, 1, 1024))
+    pm = mm.init(jax.random.PRNGKey(0), audio)
+    assert jax.tree_util.tree_structure(pm) == jax.tree_util.tree_structure(
+        tiny_params
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(pm), jax.tree_util.tree_leaves(tiny_params)
+    ):
+        # same names, same shapes, same init draws
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x = jnp.asarray(
+        (np.random.RandomState(3).randn(2, 1, 1024) * 0.1).astype(np.float32)
+    )
+    out_c = jax.jit(tiny_model.apply)(tiny_params, x)
+    out_m = jax.jit(mm.apply)(tiny_params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_c["audio"]), np.asarray(out_m["audio"]), atol=2e-6
+    )
+    g = jax.jit(jax.grad(lambda p: (mm.apply(p, x)["audio"] ** 2).mean()))(
+        tiny_params
+    )
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
+
+
 def test_decode_from_codes_roundtrip(tiny_model, tiny_params):
     """The codec decompress path: stored integer codes -> waveform must
     match the latents path (codes are what a user persists), and a
