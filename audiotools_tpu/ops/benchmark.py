@@ -61,32 +61,51 @@ def device_time(fn, arg, iters: int = 10, warmup: bool = True) -> float:
     return max(per_iter, 1e-9)
 
 
-def device_time_queued(fn, arg, iters: int = 10, warmup: bool = True) -> float:
+def device_time_queued(fn, *args, iters: int = 10, warmup: bool = True, sync=None) -> float:
     """Two-point timing without the ``fori_loop`` wrapper, for programs
     whose loop form exceeds a remote-compile transport's upload cap
     (observed: the full adversarial DAC step's looped HLO draws HTTP 413
     from the axon tunnel).
 
-    The step runs as its own program, reduced on device to one scalar;
-    N and then 2N invocations are queued and synced by fetching only the
-    final scalar (per-device program execution is in-order, so that
-    fetch fences the whole queue). The N/2N difference cancels the final
-    fetch and warm-queue costs; each invocation's ~50 us local dispatch
-    (amortized queueing, not the per-fetch tunnel RTT) remains included,
-    which is negligible for the multi-millisecond training-step programs
-    this exists for.
-    """
+    ``fn(*args)`` runs as its own program with every ``args`` pytree as
+    an explicit jit parameter — NOT closed over: tunneled transports
+    inline closed-over device arrays as literals in the uploaded
+    program, and a training step's parameter/optimizer trees alone can
+    blow the upload cap (measured: the adversarial DAC step is 10.7 MB
+    with params as arguments vs >20 MB — HTTP 413 — as closures).
 
-    @jax.jit
-    def step(a):
-        leaves = jax.tree_util.tree_leaves(fn(a))
-        return sum(jnp.sum(jnp.real(l)).astype(jnp.float32) for l in leaves)
+    N and then 2N invocations are queued and synced by fetching one
+    scalar from the final output (per-device program execution is
+    in-order, so that fetch fences the whole queue). ``sync`` maps
+    ``fn``'s output to that scalar; by default every output leaf is
+    summed on device inside the program. Pass an extractor (e.g.
+    ``lambda out: out[4]["loss"]``) to time ``fn``'s ORIGINAL program
+    unmodified — with a warm persistent compile cache that avoids
+    recompiling a multi-minute training step just to time it. The N/2N
+    difference cancels the final fetch and warm-queue costs; each
+    invocation's ~50 us local dispatch (amortized queueing, not the
+    per-fetch tunnel RTT) remains included, which is negligible for the
+    multi-millisecond training-step programs this exists for.
+    """
+    if sync is None:
+
+        @jax.jit
+        def step(*a):
+            leaves = jax.tree_util.tree_leaves(fn(*a))
+            return sum(jnp.sum(jnp.real(l)).astype(jnp.float32) for l in leaves)
+
+        fetch = float
+    else:
+        step = jax.jit(fn)
+
+        def fetch(out):
+            return float(sync(out))
 
     def run(n):
         out = None
         for _ in range(n):
-            out = step(arg)
-        return float(out)
+            out = step(*args)
+        return fetch(out)
 
     if warmup:
         run(2)

@@ -35,8 +35,8 @@ TARGET_RTF = 50.0
 MEASURED_BASELINES = {
     "stft_mel_throughput_b64_5s_matmul": 6.57,  # GB/s, BENCH_r02
     "lufs_meter_rtf_b64_5s_fast_meter": 109287.0,  # x realtime, BENCH_r02
-    "dac_train_step_b16_clips_per_sec": None,  # established this round
-    "adversarial_train_step_b16_clips_per_sec": None,  # established this round
+    "dac_train_step_b16_clips_per_sec": 238.4,  # clips/s, established r03
+    "adversarial_train_step_b16_clips_per_sec": 108.8,  # clips/s, r03
 }
 
 
@@ -324,16 +324,26 @@ def main():
     d_state = d_opt.init(d_params)
     adv_step = make_adversarial_train_step(gen, disc, g_opt, d_opt, SAMPLE_RATE)
 
-    def timed_adv_step(a):
-        g2, d2, _, _, m = adv_step(g_params, d_params, g_state, d_state, a)
-        return m["loss"], g2, d2
-
-    # the adversarial step's fori_loop-wrapped HLO exceeds the tunneled
-    # remote-compile upload cap (HTTP 413); the queued two-point method
-    # times the single-step program instead (ops/benchmark.py)
+    # The adversarial step's fori_loop-wrapped HLO exceeds the tunneled
+    # remote-compile upload cap (HTTP 413), and so does the single-step
+    # program if the parameter/optimizer trees are closed over (they get
+    # inlined as literals; measured in tests/hw/hw_adv_upload.py). Time
+    # the RAW step with params as explicit jit arguments (10.7 MB upload)
+    # via the queued two-point method, syncing on the loss scalar — the
+    # full output (updated params trees) is returned, so nothing in the
+    # backward/optimizer path can be dead-code-eliminated.
     from audiotools_tpu.ops.benchmark import device_time_queued
 
-    t_adv = device_time_queued(timed_adv_step, train_audio, iters=5)
+    t_adv = device_time_queued(
+        adv_step,
+        g_params,
+        d_params,
+        g_state,
+        d_state,
+        train_audio,
+        iters=5,
+        sync=lambda out: out[4]["loss"],
+    )
     adv_cps = TB / t_adv
     print(
         json.dumps(

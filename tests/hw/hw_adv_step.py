@@ -57,16 +57,22 @@ print(
 )
 
 
-def timed_step(a):
-    # return both updated param trees so XLA cannot dead-code-eliminate
-    # either backward pass (device_time consumes all output leaves)
-    g2, d2, _, _, mm = step(g_params, d_params, g_state, d_state, a)
-    return mm["loss"], g2, d2
-
-
 # the fori_loop-wrapped adversarial HLO exceeds the tunnel's
-# remote-compile upload cap (HTTP 413) — time the single-step program
-t_step = device_time_queued(timed_step, audio, iters=5)
+# remote-compile upload cap (HTTP 413), and closing over the param/opt
+# trees inlines them as literals (also 413, hw_adv_upload.py) — time the
+# raw single-step program with params as explicit jit args, synced on
+# the loss scalar (the full output incl. both updated param trees is
+# returned, so neither backward pass can be dead-code-eliminated)
+t_step = device_time_queued(
+    step,
+    g_params,
+    d_params,
+    g_state,
+    d_state,
+    audio,
+    iters=5,
+    sync=lambda out: out[4]["loss"],
+)
 clips_ps = B / t_step
 print(
     f"adversarial train step: {t_step*1e3:.1f} ms  ({clips_ps:.1f} clips/s, "
