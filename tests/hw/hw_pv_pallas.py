@@ -13,6 +13,22 @@ with exact integer arithmetic ((hop*f) % win) instead of wrapping the
 instead of ~1e-4.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 1150 python tests/hw/hw_pv_pallas.py
+
+RESULT (v5e, 2026-08-19): NEGATIVE — dead on arrival. Mosaic TPU (TC
+kernels) has no lowering for atan2 ("Unimplemented primitive ...
+atan2"), and the angle-domain PV needs it. Rather than polynomial-
+approximating atan2 in-kernel, the finding motivated a better
+formulation: the synthesis phase only enters the output through
+exp(i*phase), so the angle -> wrap -> cumsum -> cos/sin chain is
+algebraically a cumprod of unit cross-spectra — no transcendentals at
+all, expressible in plain XLA. See hw_pv_phasor.py and
+ops/stretch.py::phase_vocoder(formulation="phasor"). The phasor scan
+measured SLOWER in situ (23.0 vs 20.8 ms/leg: two scan planes, 2x HBM
+traffic) but diagnosing its 1000x accuracy edge exposed the real bug —
+the f32 phi_advance ramp (~1600 rad, 1e-4 ulps) accumulating linearly
+through the cumsum — fixed with an exact integer mod-2*pi reduction
+(5e-3 -> 2e-5); "angle" stays the default, "phasor" is the
+high-precision option (5e-6, log-depth tree-scan rounding).
 """
 import functools
 
