@@ -92,12 +92,15 @@ def pytest_sessionfinish(session, exitstatus):
 
         fail_under = config.getoption("--linecov-fail-under")
         n_items = getattr(session, "testscollected", 0)
-        if fail_under is not None and n_items < _LINECOV_GATE_MIN_ITEMS:
+        full_run = n_items >= _LINECOV_GATE_MIN_ITEMS
+        if fail_under is not None and not full_run:
             print(
                 f"\nlinecov gate skipped: partial run ({n_items} tests "
                 f"< {_LINECOV_GATE_MIN_ITEMS}); coverage still reported"
             )
             fail_under = None
-        _, failed = _linecov.report(fail_under=fail_under)
+        # only persist .linecov.json on full runs — a partial run's file
+        # would overwrite the committed full-suite numbers with noise
+        _, failed = _linecov.report(fail_under=fail_under, write_json=full_run)
         if failed and exitstatus == 0:
             session.exitstatus = 1
