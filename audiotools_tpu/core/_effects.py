@@ -18,7 +18,7 @@ from ..ops.loudness import GAIN_FACTOR
 
 class EffectMixin:
     GAIN_FACTOR = GAIN_FACTOR
-    """Gain factor for converting between amplitude and decibels."""
+    """Amplitude <-> decibel conversion factor."""
     CODEC_PRESETS = {
         "8-bit": {"format": "wav", "encoding": "ULAW", "bits_per_sample": 8},
         "GSM-FR": {"format": "gsm"},
@@ -181,7 +181,7 @@ class EffectMixin:
         if drr is not None:
             ir = ir.alter_drr(drr)
 
-        # Save the peak before
+        # remember the dry peak so the wet mix can be rescaled to it
         max_spk = jnp.max(jnp.abs(self.audio_data), axis=-1, keepdims=True)
 
         # The reference computes the phase unconditionally (effects.py:158)

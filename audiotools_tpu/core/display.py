@@ -19,14 +19,10 @@ def format_figure(func):
 
     @wraps(func)
     def wrapper(*args, **kwargs):
-        f_keys = inspect.signature(util.format_figure).parameters.keys()
-        f_kwargs = {}
-        for k, v in list(kwargs.items()):
-            if k in f_keys:
-                kwargs.pop(k)
-                f_kwargs[k] = v
+        accepted = inspect.signature(util.format_figure).parameters
+        fig_kwargs = {k: kwargs.pop(k) for k in list(kwargs) if k in accepted}
         func(*args, **kwargs)
-        util.format_figure(**f_kwargs)
+        util.format_figure(**fig_kwargs)
 
     return wrapper
 
@@ -61,12 +57,8 @@ def _specshow(data, sr, hop_length, x_axis="time", y_axis="linear", n_mels=None)
 class DisplayMixin:
     @format_figure
     def specshow(
-        self,
-        preemphasis: bool = False,
-        x_axis: str = "time",
-        y_axis: str = "linear",
-        n_mels: int = 128,
-        **kwargs,
+        self, preemphasis: bool = False, x_axis: str = "time",
+        y_axis: str = "linear", n_mels: int = 128, **kwargs,
     ):
         """Display a spectrogram (reference display.py:34-80)."""
         import jax.numpy as jnp
@@ -108,54 +100,49 @@ class DisplayMixin:
 
     @format_figure
     def wavespec(self, x_axis: str = "time", **kwargs):
-        """Waveform stacked over spectrogram (reference display.py:105-123)."""
+        """Waveform stacked over spectrogram (parity with reference
+        display.py:105-123: a 1:5 vertical split)."""
         import matplotlib.pyplot as plt
-        from matplotlib.gridspec import GridSpec
 
-        gs = GridSpec(6, 1)
-        plt.subplot(gs[0, :])
+        plt.subplot2grid((6, 1), (0, 0))
         self.waveplot(x_axis=x_axis)
-        plt.subplot(gs[1:, :])
+        plt.subplot2grid((6, 1), (1, 0), rowspan=5)
         self.specshow(x_axis=x_axis, **kwargs)
 
+    def _plot_to_current_figure(self, plot_fn, **kwargs):
+        """Resolve ``plot_fn`` (name or callable) and draw onto a cleared
+        current figure; returns the figure."""
+        import matplotlib.pyplot as plt
+
+        fig = plt.gcf()
+        plt.clf()
+        if isinstance(plot_fn, str):
+            plot_fn = getattr(self, plot_fn)
+        plot_fn(**kwargs)
+        return fig
+
     def write_audio_to_tb(
-        self,
-        tag: str,
-        writer,
-        step: int = None,
-        plot_fn: typing.Union[typing.Callable, str] = "specshow",
-        **kwargs,
+        self, tag: str, writer, step: int = None,
+        plot_fn: typing.Union[typing.Callable, str] = "specshow", **kwargs,
     ):
         """Write signal + spectrogram image to tensorboard
-        (reference display.py:125-165)."""
-        import matplotlib.pyplot as plt
+        (parity with reference display.py:125-165)."""
         import torch
 
-        audio_data = torch.from_numpy(np.asarray(self.audio_data[0, 0]))
-        sample_rate = self.sample_rate
-        writer.add_audio(tag, audio_data, step, sample_rate)
-
+        samples = torch.from_numpy(np.asarray(self.audio_data[0, 0]))
+        writer.add_audio(tag, samples, step, self.sample_rate)
         if plot_fn is not None:
-            if isinstance(plot_fn, str):
-                plot_fn = getattr(self, plot_fn)
-            fig = plt.figure()
-            plt.clf()
-            plot_fn(**kwargs)
+            fig = self._plot_to_current_figure(plot_fn, **kwargs)
             writer.add_figure(tag.replace("wav", "png"), fig, step)
 
     def save_image(
-        self,
-        image_path: str,
-        plot_fn: typing.Union[typing.Callable, str] = "specshow",
-        **kwargs,
+        self, image_path: str,
+        plot_fn: typing.Union[typing.Callable, str] = "specshow", **kwargs,
     ):
-        """Save a plot of the signal to a file (reference display.py:167-194)."""
+        """Save a plot of the signal to a file (parity with reference
+        display.py:167-194)."""
         import matplotlib.pyplot as plt
 
-        if isinstance(plot_fn, str):
-            plot_fn = getattr(self, plot_fn)
-
-        plt.clf()
-        plot_fn(**kwargs)
+        self._plot_to_current_figure(plot_fn, **kwargs)
         plt.savefig(image_path, bbox_inches="tight", pad_inches=0)
         plt.close()

@@ -15,7 +15,7 @@ class Meter:
     Parameters
     ----------
     rate : int
-        Sample rate of audio.
+        Audio sample rate in Hz.
     filter_class : str, optional
         Weighting filter class: "K-weighting" (default), "Fenton/Lee 1",
         "Fenton/Lee 2", "Dash et al.".

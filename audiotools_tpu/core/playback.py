@@ -1,15 +1,16 @@
 """Playback mixin: notebook embeds, an HTML/JS player widget, and local
 playback.
 
-Mirror of `/root/reference/audiotools/core/playback.py`. The widget
-templates are an original minimal player (image + seek cursor + levels
-strip + HTML5 audio element).
+Parity surface with `/root/reference/audiotools/core/playback.py`. The
+widget is an original player (templates/headers.html + widget.html):
+play/pause, spectrogram-synced cursor + played-region shading,
+click/drag-to-seek, animated levels bars, download — see the feature
+checklist in widget.html.
 """
 import base64
 import io
-import random
+import secrets
 import shutil
-import string
 import subprocess
 from pathlib import Path
 from tempfile import NamedTemporaryFile
@@ -17,119 +18,122 @@ from tempfile import NamedTemporaryFile
 from .util import _close_temp_files
 
 _TEMPLATES = Path(__file__).parent / "templates"
-headers = (_TEMPLATES / "headers.html").read_text()
-widget = (_TEMPLATES / "widget.html").read_text()
 
 DEFAULT_EXTENSION = ".wav"
 
 
-def _check_imports():
+def _require_ipython():
     try:
-        import IPython
+        import IPython.display as ipython_display
     except ImportError:
         raise ImportError("embed/play requires IPython, which is not installed")
-    return None, IPython
+    return ipython_display
+
+
+def _fill_template(name: str, **slots) -> str:
+    """Load ``templates/<name>`` and substitute its ALL-CAPS placeholders."""
+    html = (_TEMPLATES / name).read_text()
+    for placeholder, value in slots.items():
+        html = html.replace(placeholder, str(value))
+    return html
+
+
+def _current_figure_png_uri() -> str:
+    """Serialize (and close) the current matplotlib figure as a data URI."""
+    import matplotlib.pyplot as plt
+
+    buf = io.BytesIO()
+    plt.savefig(buf, bbox_inches="tight", pad_inches=0)
+    plt.close()
+    payload = base64.b64encode(buf.getvalue()).decode("ascii")
+    return f"data:image/png;base64,{payload}"
 
 
 class PlayMixin:
-    def embed(self, ext: str = None, display: bool = True, return_html: bool = False):
-        """Embed audio as a playable element in a notebook
-        (reference playback.py:39-94)."""
-        if ext is None:
-            ext = DEFAULT_EXTENSION
-        ext = f".{ext}" if not ext.startswith(".") else ext
-        _, IPython = _check_imports()
-        sr = self.sample_rate
+    def _ipython_audio_element(self, ipython_display):
+        """Write self to a temporary wav and wrap it in an IPython Audio
+        element (which inlines the data as a base64 URI)."""
         tmpfiles = []
-
         with _close_temp_files(tmpfiles):
-            tmp_wav = NamedTemporaryFile(mode="w+", suffix=".wav", delete=False)
-            tmpfiles.append(tmp_wav)
-            self.write(tmp_wav.name)
-            # compressed alternatives need external codecs; always embed wav
-            audio_element = IPython.display.Audio(data=tmp_wav.name, rate=sr)
-            if display:
-                IPython.display.display(audio_element)
+            handle = NamedTemporaryFile(mode="w+", suffix=".wav", delete=False)
+            tmpfiles.append(handle)
+            self.write(handle.name)
+            return ipython_display.Audio(data=handle.name, rate=self.sample_rate)
 
+    def embed(self, ext: str = None, display: bool = True, return_html: bool = False):
+        """Embed audio as a playable element in a notebook (parity with
+        reference playback.py:39-94). ``ext`` is kept for API parity;
+        compressed alternatives need external codecs, so the embedded
+        payload is always wav."""
+        ipython_display = _require_ipython()
+        element = self._ipython_audio_element(ipython_display)
+        if display:
+            ipython_display.display(element)
         if return_html:
-            audio_element = (
-                f"<audio "
-                f"  controls "
-                f"  src='{audio_element.src_attr()}'> "
-                f"</audio> "
-            )
-        return audio_element
+            return f"<audio controls src='{element.src_attr()}'></audio>"
+        return element
 
     def widget(
-        self,
-        title: str = None,
-        ext: str = ".wav",
-        add_headers: bool = True,
-        player_width: str = "100%",
-        margin: str = "10px",
-        plot_fn: str = "specshow",
-        return_html: bool = False,
-        **kwargs,
+        self, title: str = None, ext: str = ".wav", add_headers: bool = True,
+        player_width: str = "100%", margin: str = "10px",
+        plot_fn: str = "specshow", return_html: bool = False, **kwargs,
     ):
-        """Playable widget with spectrogram image, click-to-seek and a
-        levels strip (reference playback.py:96-192)."""
+        """Playable widget: spectrogram stage with synced cursor and
+        click/drag seeking, play/pause + animated levels bars + download
+        (parity surface with reference playback.py:96-192).
+
+        ``add_headers`` emits the shared CSS/JS once; later widgets on the
+        same page reuse it."""
         import matplotlib.pyplot as plt
 
-        def _save_fig_to_tag():
-            buffer = io.BytesIO()
-            plt.savefig(buffer, bbox_inches="tight", pad_inches=0)
-            plt.close()
-            buffer.seek(0)
-            data_uri = base64.b64encode(buffer.read()).decode("ascii")
-            return "data:image/png;base64,{0}".format(data_uri)
+        ipython_display = _require_ipython()
 
-        _, IPython = _check_imports()
-
-        header_html = ""
-
-        if add_headers:
-            header_html = headers.replace("PLAYER_WIDTH", str(player_width))
-            header_html = header_html.replace("MARGIN", str(margin))
-            IPython.display.display(IPython.display.HTML(header_html))
-
-        widget_html = widget
         if isinstance(plot_fn, str):
-            plot_fn = getattr(self, plot_fn)
             kwargs["title"] = title
+            plot_fn = getattr(self, plot_fn)
+
+        # stage image; its pixel size fixes the widget box
         plot_fn(**kwargs)
-
         fig = plt.gcf()
-        pixels = fig.get_size_inches() * fig.dpi
+        width_px, height_px = (fig.get_size_inches() * fig.dpi).astype(int)
+        stage_uri = _current_figure_png_uri()
 
-        tag = _save_fig_to_tag()
-
-        # Source image for the levels strip
-        self.specshow()
+        # wide short spectrogram whose columns the header JS samples into
+        # the animated levels bars
         from . import util as _util
 
+        self.specshow()
         _util.format_figure((12, 1.5))
-        levels_tag = _save_fig_to_tag()
+        levels_uri = _current_figure_png_uri()
 
-        player_id = "".join(random.choice(string.ascii_uppercase) for _ in range(10))
-
-        audio_elem = self.embed(ext=ext, display=False)
-        widget_html = widget_html.replace("AUDIO_SRC", audio_elem.src_attr())
-        widget_html = widget_html.replace("IMAGE_SRC", tag)
-        widget_html = widget_html.replace("LEVELS_SRC", levels_tag)
-        widget_html = widget_html.replace("PLAYER_ID", player_id)
-        widget_html = widget_html.replace("PADDING_AMOUNT", f"{int(pixels[1])}px")
-        widget_html = widget_html.replace("MAX_WIDTH", f"{int(pixels[0])}px")
-
-        IPython.display.display(IPython.display.HTML(widget_html))
+        parts = []
+        if add_headers:
+            parts.append(
+                _fill_template(
+                    "headers.html", PLAYER_WIDTH=player_width, MARGIN=margin
+                )
+            )
+        audio_element = self.embed(ext=ext, display=False)
+        parts.append(
+            _fill_template(
+                "widget.html",
+                PLAYER_ID=f"at{secrets.token_hex(6)}",
+                AUDIO_SRC=audio_element.src_attr(),
+                IMAGE_SRC=stage_uri,
+                LEVELS_SRC=levels_uri,
+                PADDING_AMOUNT=f"{height_px}px",
+                MAX_WIDTH=f"{width_px}px",
+            )
+        )
+        for part in parts:
+            ipython_display.display(ipython_display.HTML(part))
 
         if return_html:
-            html = header_html if add_headers else ""
-            html += widget_html
-            return html
+            return "".join(parts)
 
     def play(self):
         """Play audio locally via ffplay/aplay if present
-        (reference playback.py:194-216)."""
+        (parity with reference playback.py:194-216)."""
         tmpfiles = []
         with _close_temp_files(tmpfiles):
             tmp_wav = NamedTemporaryFile(suffix=".wav", delete=False)

@@ -36,12 +36,10 @@ class WhisperMixin:
         if device is None:
             device = torch.device("cuda" if torch.cuda.is_available() else "cpu")
         self.whisper_device = device
-        self.whisper_processor = WhisperProcessor.from_pretrained(
-            pretrained_model_name_or_path
-        )
-        self.whisper_model = WhisperForConditionalGeneration.from_pretrained(
-            pretrained_model_name_or_path
-        ).to(self.whisper_device)
+        name = pretrained_model_name_or_path
+        self.whisper_processor = WhisperProcessor.from_pretrained(name)
+        model = WhisperForConditionalGeneration.from_pretrained(name)
+        self.whisper_model = model.to(self.whisper_device)
         self.is_initialized = True
 
     def get_whisper_features(self):
@@ -92,11 +90,7 @@ class WhisperMixin:
         if not self.is_initialized:
             self.setup_whisper()
 
-        input_features = self.get_whisper_features()
-        encoder = self.whisper_model.get_encoder()
-
+        features = self.get_whisper_features().to(self.whisper_device)
         with torch.inference_mode():
-            input_features = input_features.to(self.whisper_device)
-            embeddings = encoder(input_features)
-
-        return embeddings.last_hidden_state
+            encoded = self.whisper_model.get_encoder()(features)
+        return encoded.last_hidden_state

@@ -24,7 +24,10 @@ and quantizer tables are this implementation's own; the output is an
 AMR-class narrowband telephone codec, NOT bit-exact with
 opencore-amrnb. That matches the preset's role in the reference — a
 codec *augmentation* imposing narrowband ACELP artifacts — which is
-behavioral, not bitstream, parity.
+behavioral, not bitstream, parity. Offline validation is property-based
+only (tests/test_amrnb.py); the one-command behavioral cross-check
+against opencore-amrnb (PESQ band comparison on a networked host) is
+VALIDATION.md §4.
 
 Host-side only (codecs are frame-sequential recursions, like the
 MP3/GSM/Vorbis paths in ``io/codecs.py``) but **batched**: every

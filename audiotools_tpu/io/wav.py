@@ -123,7 +123,11 @@ def _mulaw_decode_table():
 
 def _alaw_decode_table():
     a = np.arange(256, dtype=np.uint8) ^ 0x55
-    sign = a & 0x80
+    # G.711 A-law: a SET sign bit (after the 0x55 toggle) marks a
+    # POSITIVE sample — opposite of mu-law (pinned against the stdlib
+    # audioop oracle in tests/test_wav_codec_edges.py, which caught this
+    # table shipping with the convention inverted)
+    positive = a & 0x80
     exponent = (a >> 4) & 0x07
     mantissa = (a & 0x0F).astype(np.int32)
     sample = np.where(
@@ -131,7 +135,7 @@ def _alaw_decode_table():
         ((mantissa << 4) + 0x108) << (exponent - 1),
         (mantissa << 4) + 8,
     )
-    return np.where(sign, -sample, sample).astype(np.float32) / 32768.0
+    return np.where(positive, sample, -sample).astype(np.float32) / 32768.0
 
 
 def read_wav(path, offset: float = 0.0, duration: float = None, dtype=np.float32):

@@ -30,11 +30,6 @@ from rich.rule import Rule
 from rich.table import Table
 
 
-# module-level factory (a lambda default would make history unpicklable)
-def default_list():
-    return []
-
-
 def _to_scalar(v):
     """Convert jnp/np scalars to python floats; return None otherwise."""
     try:
@@ -50,28 +45,34 @@ def _to_scalar(v):
 
 
 class Mean:
-    """Running mean of finite values (reference decorators.py:30-46)."""
+    """Streaming average over finite samples (behaves like reference
+    decorators.py:30-46): non-finite updates are dropped, an empty
+    accumulator reads 0."""
+
+    __slots__ = ("total", "count")
 
     def __init__(self):
-        self.reset()
-
-    def __call__(self):
-        mean = self.total / max(self.count, 1)
-        return mean
-
-    def reset(self):
+        self.total = 0.0
         self.count = 0
-        self.total = 0
 
     def update(self, val):
-        if math.isfinite(val):
-            self.count += 1
-            self.total += val
+        if not math.isfinite(val):
+            return
+        self.total += val
+        self.count += 1
+
+    def reset(self):
+        self.total = 0.0
+        self.count = 0
+
+    def __call__(self):
+        return self.total / self.count if self.count else 0.0
 
 
 def when(condition):
-    """Run the decorated function only when ``condition()`` is true
-    (reference decorators.py:53-88).
+    """Gate the decorated function on ``condition()`` (parity with
+    reference decorators.py:53-88); when false, the call is a no-op
+    returning None.
 
     >>> @when(lambda: step % 100 == 0 and rank == 0)
     >>> def checkpoint(): ...
@@ -79,30 +80,35 @@ def when(condition):
 
     def decorator(fn):
         @wraps(fn)
-        def decorated(*args, **kwargs):
-            if condition():
-                return fn(*args, **kwargs)
+        def gated(*args, **kwargs):
+            return fn(*args, **kwargs) if condition() else None
 
-        return decorated
+        return gated
 
     return decorator
 
 
 def timer(prefix: str = "time"):
-    """Add wall-clock time of the decorated function to its output dict
-    under ``[prefix]/[fn_name]`` (reference decorators.py:91-115)."""
+    """Stamp the decorated function's wall-clock duration into the dict
+    it returns, keyed ``[prefix]/[fn_name]`` (parity with reference
+    decorators.py:91-115)."""
 
     def decorator(fn):
+        key = f"{prefix}/{fn.__name__}"
+
         @wraps(fn)
-        def decorated(*args, **kwargs):
-            s = time.perf_counter()
+        def timed(*args, **kwargs):
+            start = time.perf_counter()
             output = fn(*args, **kwargs)
-            assert isinstance(output, dict)
-            e = time.perf_counter()
-            output[f"{prefix}/{fn.__name__}"] = e - s
+            if not isinstance(output, dict):
+                raise TypeError(
+                    f"@timer() needs {fn.__name__} to return a dict, "
+                    f"got {type(output).__name__}"
+                )
+            output[key] = time.perf_counter() - start
             return output
 
-        return decorated
+        return timed
 
     return decorator
 
@@ -112,21 +118,28 @@ class Tracker:
     log file, and tensorboard scalars (reference decorators.py:118-440)."""
 
     def __init__(
-        self,
-        writer=None,
-        log_file: str = None,
-        rank: int = 0,
-        console_width: int = 100,
-        step: int = 0,
+        self, writer=None, log_file: str = None, rank: int = 0,
+        console_width: int = 100, step: int = 0,
     ):
-        self.metrics = {}
-        self.history = {}
         self.writer = writer
         self.rank = rank
         self.step = step
-
+        self.metrics = {}
+        self.history = {}
         self.tasks = {}
-        self.pbar = Progress(
+        self.pbar = self._build_progress_bar()
+        self.consoles = [Console(width=console_width)]
+        self.live = Live(console=self.consoles[0], refresh_per_second=10)
+        self._log_handle = None
+        if log_file is not None:
+            self._log_handle = open(log_file, "a")
+            self.consoles.append(
+                Console(width=console_width, file=self._log_handle)
+            )
+
+    @staticmethod
+    def _build_progress_bar() -> Progress:
+        columns = [
             SpinnerColumn(),
             "[progress.description]{task.description}",
             BarColumn(),
@@ -134,11 +147,22 @@ class Tracker:
             "({task.completed} of {task.total})",
             TimeElapsedColumn(),
             TimeRemainingColumn(),
-        )
-        self.consoles = [Console(width=console_width)]
-        self.live = Live(console=self.consoles[0], refresh_per_second=10)
-        if log_file is not None:
-            self.consoles.append(Console(width=console_width, file=open(log_file, "a")))
+        ]
+        return Progress(*columns)
+
+    def close(self):
+        """Flush and close the log-file console (idempotent). ``Tracker``
+        is also a context manager: ``with Tracker(log_file=...) as t: ...``
+        closes on exit."""
+        if self._log_handle is not None and not self._log_handle.closed:
+            self._log_handle.flush()
+            self._log_handle.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def print(self, msg):
         """Print to the terminal and the log file, on rank 0 only."""
@@ -146,6 +170,8 @@ class Tracker:
             return
         for console in self.consoles:
             console.log(msg)
+        if self._log_handle is not None and not self._log_handle.closed:
+            self._log_handle.flush()
 
     def _metrics_table(self, label: str) -> Table:
         """Render one label's latest scalars and their running means."""
@@ -217,16 +243,7 @@ class Tracker:
         if multihost_average is None:
             multihost_average = jax.process_count() > 1
 
-        self.tasks[label] = {
-            "pbar": self.pbar.add_task(
-                f"[white]Iteration ({label})", total=length, completed=completed
-            ),
-            "table": Table(),
-        }
-        self.metrics[label] = {
-            "value": defaultdict(),
-            "mean": defaultdict(lambda: Mean()),
-        }
+        self._register_task(label, length, completed)
 
         def decorator(fn):
             @wraps(fn)
@@ -236,11 +253,11 @@ class Tracker:
                     self.update(label, fn.__name__)
                     return output
 
-                scalars = {}
-                for k, v in output.items():
-                    s = _to_scalar(v)
-                    if s is not None:
-                        scalars[k] = s
+                scalars = {
+                    k: s for k, s in
+                    ((k, _to_scalar(v)) for k, v in output.items())
+                    if s is not None
+                }
 
                 if multihost_average and scalars:  # pragma: no cover
                     from jax.experimental import multihost_utils
@@ -262,48 +279,70 @@ class Tracker:
 
         return decorator
 
+    def _register_task(self, label: str, length: int, completed: int):
+        """Create the progress-bar row and metric accumulators for a
+        tracked label."""
+        bar_id = self.pbar.add_task(
+            f"[white]Iteration ({label})", total=length, completed=completed
+        )
+        self.tasks[label] = {"pbar": bar_id, "table": Table()}
+        self.metrics[label] = {
+            "value": defaultdict(),
+            "mean": defaultdict(Mean),
+        }
+
+    def _publish(self, label: str, value_type: str):
+        """Resolve ``label``'s current scalars (running means collapse to
+        their value) and fan them out to tensorboard and the history."""
+        if self.rank != 0:
+            return
+        snapshot = {
+            name: (entry() if isinstance(entry, Mean) else entry)
+            for name, entry in self.metrics[label][value_type].items()
+        }
+        if self.writer is not None:
+            for name, val in snapshot.items():
+                self.writer.add_scalar(f"{name}/{label}", val, self.step)
+        series = self.history.get(label)
+        if series is None:
+            return
+        for name, val in snapshot.items():
+            series[name].append(val)
+        series["step"].append(self.step)
+
     def log(self, label: str, value_type: str = "value", history: bool = True):
-        """Decorator writing tracked metrics to tensorboard + history
-        after the function runs (reference decorators.py:354-393)."""
-        assert value_type in ["mean", "value"]
+        """Decorator publishing ``label``'s tracked metrics (tensorboard +
+        history) each time the function returns (parity surface with
+        reference decorators.py:354-393)."""
+        if value_type not in ("mean", "value"):
+            raise ValueError(f"value_type must be 'mean' or 'value', got {value_type!r}")
         if history:
-            if label not in self.history:
-                self.history[label] = defaultdict(default_list)
+            self.history.setdefault(label, defaultdict(list))
 
         def decorator(fn):
             @wraps(fn)
-            def decorated(*args, **kwargs):
+            def logged(*args, **kwargs):
                 output = fn(*args, **kwargs)
-                if self.rank == 0:
-                    nonlocal value_type, label
-                    metrics = self.metrics[label][value_type]
-                    for k, v in metrics.items():
-                        v = v() if isinstance(v, Mean) else v
-                        if self.writer is not None:
-                            self.writer.add_scalar(f"{k}/{label}", v, self.step)
-                        if label in self.history:
-                            self.history[label][k].append(v)
-
-                    if label in self.history:
-                        self.history[label]["step"].append(self.step)
-
+                self._publish(label, value_type)
                 return output
 
-            return decorated
+            return logged
 
         return decorator
 
     def is_best(self, label, key):
-        """Whether the latest value of ``key`` is the minimum so far
-        (reference decorators.py:395-411)."""
-        return self.history[label][key][-1] == min(self.history[label][key])
+        """Whether ``key``'s latest logged value is its minimum so far
+        (parity with reference decorators.py:395-411)."""
+        series = self.history[label][key]
+        return series[-1] <= min(series)
 
     def state_dict(self):
-        """Checkpointable state (reference decorators.py:413-422)."""
+        """Checkpointable state (parity with reference decorators.py:413-422)."""
         return {"history": self.history, "step": self.step}
 
     def load_state_dict(self, state_dict):
-        """Restore from ``state_dict`` (reference decorators.py:424-440)."""
+        """Restore from ``state_dict``; returns self for chaining (parity
+        with reference decorators.py:424-440)."""
         self.history = state_dict["history"]
         self.step = state_dict["step"]
         return self

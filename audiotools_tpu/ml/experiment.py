@@ -33,7 +33,7 @@ class Experiment:
     Parameters
     ----------
     exp_directory : str
-        Folder where all experiments are saved, by default "runs/".
+        Root folder collecting every run directory, by default "runs/".
     exp_name : str, optional
         Experiment name; defaults to ``<date>-<adjective>-<noun>``.
     """
@@ -43,46 +43,42 @@ class Experiment:
         exp_directory: str = "runs/",
         exp_name: str = None,
     ):
-        if exp_name is None:
-            exp_name = self.generate_exp_name()
-        exp_dir = Path(exp_directory) / exp_name
-        exp_dir.mkdir(parents=True, exist_ok=True)
+        self.exp_name = exp_name or self.generate_exp_name()
+        self.exp_dir = Path(exp_directory) / self.exp_name
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        self.parent_directory = Path.cwd().absolute()
+        self.git_tracked_files = self._list_git_files()
 
-        self.exp_dir = exp_dir
-        self.exp_name = exp_name
+    @staticmethod
+    def _list_git_files():
+        cmd = shlex.split("git ls-tree --full-tree --name-only -r HEAD")
         try:
-            self.git_tracked_files = (
-                subprocess.check_output(
-                    shlex.split("git ls-tree --full-tree --name-only -r HEAD"),
-                    stderr=subprocess.DEVNULL,
-                )
-                .decode("utf-8")
-                .splitlines()
-            )
+            listing = subprocess.check_output(cmd, stderr=subprocess.DEVNULL)
         except subprocess.CalledProcessError:
-            self.git_tracked_files = []
-        self.parent_directory = Path(".").absolute()
+            return []
+        return listing.decode("utf-8").splitlines()
 
     def __enter__(self):
-        self.prev_dir = os.getcwd()
+        self.prev_dir = Path.cwd()
         os.chdir(self.exp_dir)
         return self
 
-    def __exit__(self, exc_type, exc_value, traceback):
+    def __exit__(self, *exc_info):
         os.chdir(self.prev_dir)
 
     @staticmethod
     def generate_exp_name():
         """Random experiment name from the date plus an adjective-noun
         pair (reference experiment.py:62-74)."""
-        date = datetime.datetime.now().strftime("%y%m%d")
-        name = f"{random.choice(_ADJECTIVES)}-{random.choice(_NOUNS)}"
-        return f"{date}-{name}"
+        stamp = datetime.datetime.now().strftime("%y%m%d")
+        return "-".join(
+            [stamp, random.choice(_ADJECTIVES), random.choice(_NOUNS)]
+        )
 
     def snapshot(self, filter_fn: typing.Callable = lambda f: True):
         """Copy all git-tracked files into the run directory
         (reference experiment.py:76-90)."""
-        for f in self.git_tracked_files:
-            if filter_fn(f):
-                Path(f).parent.mkdir(parents=True, exist_ok=True)
-                shutil.copyfile(self.parent_directory / f, f)
+        for tracked in filter(filter_fn, self.git_tracked_files):
+            destination = Path(tracked)
+            destination.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copyfile(self.parent_directory / tracked, destination)

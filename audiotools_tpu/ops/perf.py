@@ -1,0 +1,199 @@
+"""Absolute performance accounting: analytic FLOPs, XLA cost analysis,
+MFU and HBM-roofline fractions for the benchmark workloads.
+
+The reference publishes no benchmark numbers (SURVEY.md §6), so ratios
+against it cannot certify performance; the defensible absolute statement
+is utilization against the chip's own ceilings. Two independent
+accountings are provided:
+
+- **analytic**: closed-form MAC counts for the DAC generator's conv /
+  matmul core (all shapes are static), the standard "model FLOPs" used
+  for MFU. Derivation: ``docs/perf.md``.
+- **XLA cost analysis**: the compiled program's own flop/byte counts
+  (``Compiled.cost_analysis()``), covering everything the analytic core
+  excludes (losses, optimizer, elementwise) — used for the HBM roofline.
+
+Chip ceilings are the published TPU v5e numbers (jax-ml.github.io/
+scaling-book): 197 TFLOP/s bf16 on the MXU, 819 GB/s HBM bandwidth.
+MFU is reported against the bf16 peak — the hardware's speed of light —
+even for f32 programs (which cannot reach 100% of it by construction;
+an f32 matmul costs ~3 bf16 MXU passes).
+"""
+from typing import Any, Dict
+
+PEAK_BF16_FLOPS = 197e12  # TPU v5e MXU, bf16
+HBM_BYTES_PER_S = 819e9  # TPU v5e HBM bandwidth
+
+
+def _conv_macs(t_out: int, cin: int, cout: int, k: int) -> int:
+    """MACs of a 1-D convolution producing ``t_out`` frames."""
+    return t_out * cin * cout * k
+
+
+def _conv_transpose_macs(t_in: int, cin: int, cout: int, k: int) -> int:
+    """MACs of a 1-D transposed convolution: every input frame feeds k
+    output taps."""
+    return t_in * cin * cout * k
+
+
+def dac_generator_macs(
+    T: int,
+    encoder_dim: int = 64,
+    encoder_rates=(2, 4, 8, 8),
+    latent_dim: int = 256,
+    decoder_dim: int = 1024,
+    n_codebooks: int = 9,
+    codebook_size: int = 1024,
+    codebook_dim: int = 8,
+) -> Dict[str, int]:
+    """Per-item forward MACs of the DAC generator (models/dac.py), by
+    section. Mirrors the module structure exactly: every Conv /
+    ConvTranspose / Dense / codebook-similarity matmul is counted; snakes,
+    norms and the argmax are elementwise/VPU work and excluded (standard
+    MFU convention)."""
+    sections = {"encoder": 0, "rvq": 0, "decoder": 0}
+
+    # ---- encoder ----
+    t, d = T, encoder_dim
+    sections["encoder"] += _conv_macs(t, 1, d, 7)  # stem
+    for stride in encoder_rates:
+        # EncoderBlock(2d, stride): 3 ResidualUnits at d, then a
+        # d -> 2d strided conv with kernel 2*stride
+        for _dilation in (1, 3, 9):
+            sections["encoder"] += _conv_macs(t, d, d, 7)  # dilated conv
+            sections["encoder"] += _conv_macs(t, d, d, 1)  # pointwise
+        t //= stride
+        sections["encoder"] += _conv_macs(t, d, 2 * d, 2 * stride)
+        d *= 2
+    sections["encoder"] += _conv_macs(t, d, latent_dim, 3)  # latent proj
+
+    # ---- residual VQ (per stage: in_proj, similarity matmul, out_proj) ----
+    for _ in range(n_codebooks):
+        sections["rvq"] += t * latent_dim * codebook_dim  # in_proj
+        sections["rvq"] += t * codebook_dim * codebook_size  # similarity
+        sections["rvq"] += t * codebook_dim * latent_dim  # out_proj
+
+    # ---- decoder ----
+    d = decoder_dim
+    sections["decoder"] += _conv_macs(t, latent_dim, d, 7)  # stem
+    for stride in reversed(encoder_rates):
+        # DecoderBlock(d/2, stride): ConvTranspose d -> d/2 kernel
+        # 2*stride, then 3 ResidualUnits at d/2
+        sections["decoder"] += _conv_transpose_macs(t, d, d // 2, 2 * stride)
+        t *= stride
+        d //= 2
+        for _dilation in (1, 3, 9):
+            sections["decoder"] += _conv_macs(t, d, d, 7)
+            sections["decoder"] += _conv_macs(t, d, d, 1)
+    sections["decoder"] += _conv_macs(t, d, 1, 7)  # waveform head
+
+    return sections
+
+
+def dac_train_step_flops(batch: int, T: int, **kwargs) -> float:
+    """Analytic model-FLOPs of one reconstruction training step:
+    2 FLOPs/MAC forward, and backward = 2x forward (input-grad + weight-
+    grad convolutions each cost one forward) -> 3x forward total
+    (the standard training-MFU convention)."""
+    macs = sum(dac_generator_macs(T, **kwargs).values())
+    return 3 * 2 * macs * batch
+
+
+def mpd_macs(T: int, periods=(2, 3, 5, 7, 11),
+             channels=(32, 128, 512, 1024)) -> int:
+    """Per-item forward MACs of the multi-period discriminator
+    (models/discriminators.py:50-85): per period p, the signal folds to
+    a (T/p, p, 1) plane judged by 5x1 convs at stride 3x1 through
+    ``channels``, then a stride-1 5x1 conv and a 3x1 logit head. The
+    period axis has kernel 1, so it scales MACs like a batch dim."""
+    total = 0
+    for p in periods:
+        t = -(-T // p)  # fold length (padded up)
+        cin = 1
+        for ch in channels:
+            t = -(-t // 3)  # SAME padding, stride 3
+            total += t * p * cin * ch * 5
+            cin = ch
+        total += t * p * cin * cin * 5  # stride-1 tail conv
+        total += t * p * cin * 1 * 3  # logit head
+    return total
+
+
+def mrd_macs(T: int, fft_sizes=(2048, 1024, 512), channels: int = 32,
+             n_bands: int = 5) -> int:
+    """Per-item forward MACs of the multi-resolution discriminator
+    (models/discriminators.py:88-140): per window n, a complex STFT
+    (counted at the FFT convention 5*N*log2(N) per transform) feeds five
+    frequency bands; each band runs a 3x9 stem (2->ch) plus three 3x9
+    convs at freq-stride 2 (ch->ch) and a 3x3 conv, then the re-joined
+    bands hit a 3x3 logit head."""
+    import math
+
+    total = 0
+    for n in fft_sizes:
+        hop = n // 4
+        frames = T // hop + 1
+        f_bins = n // 2 + 1
+        total += int(frames * 5 * n * math.log2(n)) // 2  # rfft
+        # per conv level, the summed band widths are F, F/2, F/4, F/8
+        total += frames * f_bins * 2 * channels * 27  # stems
+        for level in (1, 2, 3):
+            total += (
+                frames * (f_bins >> level) * channels * channels * 27
+            ) * 1
+        total += frames * (f_bins >> 3) * channels * channels * 9  # 3x3
+        total += frames * (f_bins >> 3) * channels * 1 * 9  # logit head
+    return total
+
+
+def adversarial_train_step_flops(batch: int, T: int) -> float:
+    """Analytic FLOPs of the two-optimizer adversarial step
+    (models/adversarial.py): the generator runs fwd+bwd once (3x fwd);
+    the discriminator ensemble runs D(fake)+D(real) forward in the G
+    loss plus an input-gradient pass through D(fake) (~3x fwd), and
+    D(real)+D(fake) fwd+bwd in the D loss (~6x fwd)."""
+    g = sum(dac_generator_macs(T).values())
+    d = mpd_macs(T) + mrd_macs(T)
+    return 2 * batch * (3 * g + 9 * d)
+
+
+def xla_cost(fn, *args) -> Dict[str, float]:
+    """FLOPs / HBM bytes of the compiled program for ``fn(*args)``, from
+    XLA's own cost model. Returns zeros when the backend does not expose
+    cost analysis (e.g. some tunneled plugins)."""
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        stats = compiled.cost_analysis()
+        if isinstance(stats, (list, tuple)):
+            stats = stats[0]
+        return {
+            "flops": float(stats.get("flops", 0.0)),
+            "bytes": float(stats.get("bytes accessed", 0.0)),
+        }
+    except Exception:
+        return {"flops": 0.0, "bytes": 0.0}
+
+
+def mfu(flops: float, seconds: float) -> float:
+    """Fraction of the v5e bf16 peak achieved."""
+    return flops / seconds / PEAK_BF16_FLOPS
+
+
+def hbm_roofline_frac(bytes_accessed: float, seconds: float) -> float:
+    """Fraction of the v5e HBM bandwidth ceiling achieved."""
+    return bytes_accessed / seconds / HBM_BYTES_PER_S
+
+
+def summarize(label: str, seconds: float, analytic_flops: float = None,
+              cost: Dict[str, Any] = None) -> Dict[str, float]:
+    """Roofline summary dict for a bench line."""
+    out = {}
+    if analytic_flops:
+        out["mfu"] = round(mfu(analytic_flops, seconds), 4)
+    if cost and cost.get("flops"):
+        out["mfu_xla"] = round(mfu(cost["flops"], seconds), 4)
+    if cost and cost.get("bytes"):
+        out["hbm_frac"] = round(hbm_roofline_frac(cost["bytes"], seconds), 4)
+    return out

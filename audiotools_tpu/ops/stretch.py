@@ -38,8 +38,14 @@ def phase_vocoder(
     """Stretch ``(..., F, T)`` complex STFT frames by ``rate``.
 
     ``rate > 1`` speeds up (fewer output frames). Phase propagation is
-    the classic Flanagan/Laroche algorithm; two algebraically identical
-    evaluations are available (hw_pv_phasor.py, v5e, b64 bench shapes):
+    the classic Flanagan/Laroche algorithm; two evaluations are
+    available (hw_pv_phasor.py, v5e, b64 bench shapes). They agree for
+    every bin whose adjacent analysis frames are nonzero; at a
+    transient zero (one frame silent, its neighbor not) the conventions
+    differ — the phasor path contributes an identity rotation while the
+    angle path treats atan2(0, 0) == 0 as a real phase — which is
+    acceptable because phase is unobservable at a zero frame, but the
+    step advance that propagates to later frames of that bin differs:
 
     - ``"angle"`` (default): the textbook real-angle evaluation (atan2,
       principal-value wraps, one single-plane cumsum, cos/sin), with the
@@ -61,6 +67,10 @@ def phase_vocoder(
     """
     if formulation == "angle":
         return _phase_vocoder_angle(stft_data, rate, hop_length, window_length)
+    if formulation != "phasor":
+        raise ValueError(
+            f"formulation must be 'angle' or 'phasor', got {formulation!r}"
+        )
     F_bins, T = stft_data.shape[-2], stft_data.shape[-1]
     i0, i1, frac = _pv_indices(T, rate)
 

@@ -1,4 +1,4 @@
-"""Notebook/HTML output helpers (mirror of
+"""Notebook/HTML output helpers (parity surface with
 `/root/reference/audiotools/post.py`): audio tables with embedded players,
 notebook detection, generic display.
 
@@ -25,13 +25,30 @@ def _markdown_table_to_html(table_md: str) -> str:
     return "<table>" + "".join(rows) + "</table>"
 
 
+def _render_cell(label: str, value, signal_cls, **embed_kwargs) -> str:
+    """Default cell renderer: players for signals, ``.`` for missing
+    entries, plain ``str`` for everything else."""
+    import numpy as np
+
+    if value is None:
+        return "."
+    if isinstance(value, signal_cls):
+        return value.embed(display=False, return_html=True, **embed_kwargs)
+    if hasattr(value, "dtype") and hasattr(value, "tolist"):
+        value = np.asarray(value).tolist()
+    return str(value)
+
+
 def audio_table(
     audio_dict: dict,
     first_column: str = None,
     format_fn: typing.Callable = None,
     **kwargs,
 ):
-    """Markdown table of embedded audio players (reference post.py:12-90).
+    """Markdown table of embedded audio players (parity surface with
+    reference post.py:12-90): one row per key, columns fixed by the
+    first row's sub-dict keys; bare (non-dict) values become a single
+    ``Audio`` column.
 
     >>> audio_dict = {i: {"input": in_sig[i], "output": out_sig[i]}
     ...               for i in range(batch)}
@@ -39,91 +56,68 @@ def audio_table(
     """
     from . import AudioSignal
 
-    output = []
-    columns = None
-
-    def _default_format_fn(label, x, **kwargs):
-        import jax.numpy as jnp
-        import numpy as np
-
-        if isinstance(x, (np.ndarray, jnp.ndarray)):
-            x = np.asarray(x).tolist()
-
-        if x is None:
-            return "."
-        elif isinstance(x, AudioSignal):
-            return x.embed(display=False, return_html=True, **kwargs)
-        else:
-            return str(x)
-
     if format_fn is None:
-        format_fn = _default_format_fn
+        def format_fn(label, x, **kw):
+            return _render_cell(label, x, AudioSignal, **kw)
 
-    if first_column is None:
-        first_column = "."
+    # normalize every row to a column->value mapping
+    rows = {
+        key: (val if isinstance(val, dict) else {"Audio": val})
+        for key, val in audio_dict.items()
+    }
+    if not rows:
+        return "\n"
 
-    for k, v in audio_dict.items():
-        if not isinstance(v, dict):
-            v = {"Audio": v}
-
-        v_keys = list(v.keys())
-        if columns is None:
-            columns = [first_column] + v_keys
-            output.append(" | ".join(columns))
-
-            layout = "|---" + len(v_keys) * "|:-:"
-            output.append(layout)
-
-        formatted_audio = []
-        for col in columns[1:]:
-            formatted_audio.append(format_fn(col, v[col], **kwargs))
-
-        row = f"| {k} | "
-        row += " | ".join(formatted_audio)
-        output.append(row)
-
-    output = "\n" + "\n".join(output)
-    return output
+    header = list(next(iter(rows.values())).keys())
+    lines = [
+        " | ".join([first_column if first_column is not None else "."] + header),
+        "|---" + "|:-:" * len(header),
+    ]
+    for key, cells in rows.items():
+        rendered = (format_fn(col, cells[col], **kwargs) for col in header)
+        lines.append(f"| {key} | " + " | ".join(rendered))
+    return "\n" + "\n".join(lines)
 
 
 def in_notebook():
-    """Whether code is running in a notebook (reference post.py:93-109)."""
+    """Whether code is running in a notebook (parity with reference
+    post.py:93-109)."""
     try:
         from IPython import get_ipython
-
-        if "IPKernelApp" not in get_ipython().config:
-            return False
     except ImportError:
         return False
+    shell = get_ipython()
+    try:
+        return shell is not None and "IPKernelApp" in shell.config
     except AttributeError:
         return False
-    return True
 
 
 def disp(obj, **kwargs):
-    """Display an object appropriately for notebook/terminal
-    (reference post.py:112-140)."""
+    """Display an object appropriately for notebook/terminal (parity
+    with reference post.py:112-140): signals embed a player, dicts
+    become an audio table, figures show."""
     import matplotlib.pyplot as plt
 
     from . import AudioSignal
 
-    IN_NOTEBOOK = in_notebook()
+    notebook = in_notebook()
+
+    def _as_html(markup):
+        if not notebook:
+            print(markup)
+            return None
+        from IPython.display import HTML
+
+        return HTML(markup)
 
     if isinstance(obj, AudioSignal):
-        audio_elem = obj.embed(display=False, return_html=True)
-        if IN_NOTEBOOK:
-            from IPython.display import HTML
-
-            return HTML(audio_elem)
-        else:
-            print(audio_elem)
+        return _as_html(obj.embed(display=False, return_html=True))
     if isinstance(obj, dict):
         table = audio_table(obj, **kwargs)
-        if IN_NOTEBOOK:
-            from IPython.display import HTML
-
-            return HTML(_markdown_table_to_html(table))
-        else:
-            print(table)
+        if notebook:
+            return _as_html(_markdown_table_to_html(table))
+        print(table)
+        return None
     if isinstance(obj, plt.Figure):
         plt.show()

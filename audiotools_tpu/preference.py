@@ -208,53 +208,44 @@ class Player:
 # user tracking + progress bar (reference preference.py:285-374)
 # ---------------------------------------------------------------------------
 
-load_tracker = lambda name: """
+def load_tracker(cookie):
+    """JS snippet returning a stable per-browser id stored under
+    ``cookie`` (created on first visit, 30-day expiry)."""
+    return (
+        """
 function load_name() {
-    function setCookie(name, value, exp_days) {
-        var d = new Date();
-        d.setTime(d.getTime() + (exp_days*24*60*60*1000));
-        document.cookie = name + "=" + value + ";expires=" + d.toGMTString() + ";path=/";
-    }
-    function getCookie(name) {
-        var match = document.cookie.match(new RegExp("(?:^|; )" + name + "=([^;]*)"));
-        return match ? match[1] : "";
-    }
-    var name = getCookie("{name}");
-    if (name == "") {
-        name = Math.random().toString(36).slice(2);
-        setCookie("{name}", name, 30);
-    }
-    return getCookie("{name}");
+    var store = document.cookie;
+    var match = store.match(new RegExp("(?:^|; )__COOKIE__=([^;]*)"));
+    if (match) { return match[1]; }
+    var fresh = Math.random().toString(36).slice(2);
+    var expiry = new Date(Date.now() + 30 * 864e5).toGMTString();
+    document.cookie =
+        "__COOKIE__=" + fresh + ";expires=" + expiry + ";path=/";
+    return fresh;
 }
-""".replace(
-    "{name}", name
-)
+"""
+    ).replace("__COOKIE__", cookie)
+
 
 progress_template = """
 <!DOCTYPE html>
 <html>
   <head>
     <style>
-      .progress-bar {
-        background-color: #ddd; border-radius: 4px;
-        height: 30px; width: 100%; position: relative;
-      }
-      .progress {
-        background-color: #00AAFF; border-radius: 4px;
-        height: 100%; width: {PROGRESS}%;
-      }
-      .progress-text {
-        position: absolute; top: 50%; left: 50%;
-        transform: translate(-50%, -50%);
-        font: bold 18px Arial, sans-serif;
-        color: #333 !important; text-shadow: 1px 1px #fff;
-      }
+      .at-meter { background: #ddd; border-radius: 4px;
+                  height: 30px; width: 100%; position: relative; }
+      .at-meter-fill { background: #00AAFF; border-radius: 4px;
+                       height: 100%; width: {PROGRESS}%; }
+      .at-meter-label { position: absolute; top: 50%; left: 50%;
+                        transform: translate(-50%, -50%);
+                        font: bold 18px Arial, sans-serif;
+                        color: #333 !important; text-shadow: 1px 1px #fff; }
     </style>
   </head>
   <body>
-    <div class="progress-bar">
-      <div class="progress"></div>
-      <div class="progress-text">{TEXT}</div>
+    <div class="at-meter">
+      <div class="at-meter-fill"></div>
+      <span class="at-meter-label">{TEXT}</span>
     </div>
   </body>
 </html>

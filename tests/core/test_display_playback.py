@@ -78,6 +78,80 @@ def test_widget_html():
     assert "at-player" in html2
 
 
+def _parse_dom(html):
+    """Collect (tag, attrs) for every element in the markup."""
+    from html.parser import HTMLParser
+
+    elements = []
+
+    class Collector(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            elements.append((tag, dict(attrs)))
+
+    Collector().feed(html)
+    return elements
+
+
+def test_widget_dom_feature_set():
+    """DOM-level checklist of the player's interaction surface (parity
+    with the reference widget's feature set: play/pause, synced cursor,
+    seek, levels bars, download)."""
+    sig = _sig()
+    html = sig.widget("Test", return_html=True)
+    dom = _parse_dom(html)
+
+    def find(tag, cls):
+        return [
+            a for t, a in dom
+            if t == tag and cls in a.get("class", "").split()
+        ]
+
+    # one player root with a resolved max-width in pixels
+    (root,) = find("div", "at-player")
+    assert root["id"].startswith("at") and "max-width" in root["style"]
+    # spectrogram stage: image + played-region shade + moving cursor
+    (stage,) = find("div", "at-stage")
+    assert "height" in stage["style"]
+    (img,) = find("img", "at-image")
+    assert img["src"].startswith("data:image/png;base64")
+    assert find("div", "at-shade") and find("div", "at-cursor")
+    # controls: play/pause button, levels canvas, time readout, download
+    assert find("button", "at-playpause")
+    assert find("canvas", "at-response")
+    assert find("span", "at-time")
+    assert find("button", "at-download")
+    # hidden levels-strip source image for the bar analysis
+    (strip,) = find("img", "at-levels-src")
+    assert strip["src"].startswith("data:image/png;base64")
+    # audio element wired to an inline wav payload
+    audios = [a for t, a in dom if t == "audio"]
+    assert audios and audios[0]["src"].startswith("data:audio")
+
+    # the shared header JS implements the interactions the widget binds to
+    for feature in (
+        "atSetupPlayer",          # per-widget hookup entry point
+        "pointerdown",            # click-to-seek ...
+        "pointermove",            # ... and drag-to-scrub
+        "requestAnimationFrame",  # cursor synced while playing
+        "getImageData",           # levels bars sampled from the strip
+    ):
+        assert feature in html, feature
+
+
+def test_widget_headers_shared_across_players():
+    """Headers (CSS + JS) are emitted once and reused by later widgets."""
+    sig = _sig()
+    first = sig.widget("A", return_html=True)
+    again = sig.widget("B", add_headers=False, return_html=True)
+    assert "atSetupPlayer(" in again  # the call site ...
+    assert "function atSetupPlayer" not in again  # ... but not the definition
+    assert "function atSetupPlayer" in first
+    # distinct widgets get distinct DOM ids
+    id_a = [a["id"] for t, a in _parse_dom(first) if t == "div" and "at-player" in a.get("class", "")]
+    id_b = [a["id"] for t, a in _parse_dom(again) if t == "div" and "at-player" in a.get("class", "")]
+    assert id_a and id_b and id_a != id_b
+
+
 def test_play_requires_player():
     import shutil
 
