@@ -13,91 +13,93 @@ from . import util
 from ..ops import filters as _filters
 
 
+def _frame_indices(length: int, window_length: int, hop_length: int):
+    """Static (n_frames, window_length) index matrix framing a signal of
+    ``length`` samples — framing/OLA as a plain gather on a numpy
+    constant (no traced indices; CLAUDE.md TPU rule)."""
+    n_frames = max(1 + (length - window_length) // hop_length, 0)
+    starts = np.arange(n_frames, dtype=np.int32) * hop_length
+    offsets = np.arange(window_length, dtype=np.int32)
+    return starts[:, None] + offsets[None, :]
+
+
 class DSPMixin:
     _original_batch_size = None
     _original_num_channels = None
     _padded_signal_length = None
 
     def _preprocess_signal_for_windowing(self, window_duration, hop_duration):
+        """Snap the window to a hop multiple, pad by one hop each side,
+        and remember the original layout for ``overlap_and_add``."""
         self._original_batch_size = self.batch_size
         self._original_num_channels = self.num_channels
-
-        window_length = int(window_duration * self.sample_rate)
         hop_length = int(hop_duration * self.sample_rate)
-
-        if window_length % hop_length != 0:
-            factor = window_length // hop_length
-            window_length = factor * hop_length
-
+        window_length = int(window_duration * self.sample_rate)
+        window_length -= window_length % hop_length
         self.zero_pad(hop_length, hop_length)
         self._padded_signal_length = self.signal_length
-
         return window_length, hop_length
 
-    def windows(
-        self, window_duration: float, hop_duration: float, preprocess: bool = True
-    ):
-        """Generator yielding AudioSignal windows (reference dsp.py:31-68)."""
+    def _windowing_lengths(self, window_duration, hop_duration, preprocess):
         if preprocess:
-            window_length, hop_length = self._preprocess_signal_for_windowing(
+            return self._preprocess_signal_for_windowing(
                 window_duration, hop_duration
             )
+        return (
+            int(window_duration * self.sample_rate),
+            int(hop_duration * self.sample_rate),
+        )
+
+    def windows(self, window_duration: float, hop_duration: float,
+                preprocess: bool = True):
+        """Generator yielding AudioSignal windows (reference dsp.py:31-68)."""
+        window_length, hop_length = self._windowing_lengths(
+            window_duration, hop_duration, preprocess
+        )
 
         self.audio_data = self.audio_data.reshape(-1, 1, self.signal_length)
-
+        n_frames = max(
+            1 + (self.signal_length - window_length) // hop_length, 0
+        )
         for b in range(self.batch_size):
-            i = 0
-            start_idx = i * hop_length
-            while True:
-                start_idx = i * hop_length
-                i += 1
-                end_idx = start_idx + window_length
-                if end_idx > self.signal_length:
-                    break
-                yield self[b, ..., start_idx:end_idx]
+            for i in range(n_frames):
+                start = i * hop_length
+                yield self[b, ..., start : start + window_length]
 
-    def collect_windows(
-        self, window_duration: float, hop_duration: float, preprocess: bool = True
-    ):
+    def collect_windows(self, window_duration: float, hop_duration: float,
+                        preprocess: bool = True):
         """Reshape into overlapping windows along the batch dim
         (reference dsp.py:70-108)."""
-        if preprocess:
-            window_length, hop_length = self._preprocess_signal_for_windowing(
-                window_duration, hop_duration
-            )
-
-        x = self.audio_data.reshape(-1, self.signal_length)
-        n = 1 + (self.signal_length - window_length) // hop_length
-        idx = (
-            np.arange(n, dtype=np.int32)[:, None] * hop_length
-            + np.arange(window_length, dtype=np.int32)[None, :]
+        window_length, hop_length = self._windowing_lengths(
+            window_duration, hop_duration, preprocess
         )
-        unfolded = x[:, idx]  # (nb*nch, n, window_length)
-        self.audio_data = unfolded.reshape(-1, 1, window_length)
+        frames = _frame_indices(self.signal_length, window_length, hop_length)
+        flat = self.audio_data.reshape(-1, self.signal_length)
+        self.audio_data = flat[:, frames].reshape(-1, 1, window_length)
         return self
 
     def overlap_and_add(self, hop_duration: float):
-        """Overlap-add windows back into a signal (reference dsp.py:110-151)."""
+        """Overlap-add windows back into a signal, dividing by the fold
+        count per sample (reference dsp.py:110-151)."""
         hop_length = int(hop_duration * self.sample_rate)
         window_length = self.signal_length
-
         nb, nch = self._original_batch_size, self._original_num_channels
-
-        unfolded = self.audio_data.reshape(nb * nch, -1, window_length)
-        n = unfolded.shape[1]
-        idx = (
-            np.arange(n, dtype=np.int32)[:, None] * hop_length
-            + np.arange(window_length, dtype=np.int32)[None, :]
-        ).reshape(-1)
         out_len = self._padded_signal_length
-        folded = jnp.zeros((nb * nch, out_len), dtype=unfolded.dtype)
-        folded = folded.at[:, idx].add(unfolded.reshape(nb * nch, -1))
-        norm = jnp.zeros((out_len,), dtype=unfolded.dtype).at[idx].add(
-            jnp.ones((n * window_length,), dtype=unfolded.dtype)
-        )
-        folded = folded / norm
 
-        self.audio_data = folded.reshape(nb, nch, -1)
+        stacked = self.audio_data.reshape(nb * nch, -1, window_length)
+        n_frames = stacked.shape[1]
+        scatter = _frame_indices(
+            out_len, window_length, hop_length
+        )[:n_frames].reshape(-1)
+
+        folded = jnp.zeros((nb * nch, out_len), dtype=stacked.dtype)
+        folded = folded.at[:, scatter].add(stacked.reshape(nb * nch, -1))
+        coverage = (
+            jnp.zeros((out_len,), dtype=stacked.dtype)
+            .at[scatter]
+            .add(jnp.ones((scatter.size,), dtype=stacked.dtype))
+        )
+        self.audio_data = (folded / coverage).reshape(nb, nch, -1)
         self.trim(hop_length, hop_length)
         return self
 

@@ -249,12 +249,8 @@ class EffectMixin:
         return self
 
     def apply_codec(
-        self,
-        preset: str = None,
-        format: str = "wav",
-        encoding: str = None,
-        bits_per_sample: int = None,
-        compression: int = None,
+        self, preset: str = None, format: str = "wav", encoding: str = None,
+        bits_per_sample: int = None, compression: int = None,
     ):
         """Apply an audio codec (reference effects.py:311-384).
 
@@ -262,20 +258,18 @@ class EffectMixin:
         round-trip at the requested bit depth); compressed formats require
         codec libraries unavailable in this environment and raise.
         """
-        kwargs = {
-            "format": format,
-            "encoding": encoding,
-            "bits_per_sample": bits_per_sample,
-            "compression": compression,
-        }
-        if preset is not None:
-            if preset in self.CODEC_PRESETS:
-                kwargs = dict(self.CODEC_PRESETS[preset])
-            else:
-                raise ValueError(
-                    f"Unknown preset: {preset}. "
-                    f"Known presets: {list(self.CODEC_PRESETS.keys())}"
-                )
+        if preset is None:
+            kwargs = dict(
+                format=format, encoding=encoding,
+                bits_per_sample=bits_per_sample, compression=compression,
+            )
+        elif preset in self.CODEC_PRESETS:
+            kwargs = dict(self.CODEC_PRESETS[preset])
+        else:
+            raise ValueError(
+                f"Unknown preset: {preset}. "
+                f"Known presets: {list(self.CODEC_PRESETS.keys())}"
+            )
 
         fmt = kwargs.get("format", "wav")
         if fmt == "wav":
@@ -546,11 +540,9 @@ class ImpulseResponseMixin:
         )
         alpha = jnp.maximum(alpha, min_alpha)[..., None]
 
-        aug_ir_data = (
-            alpha * window * early_response
-            + ((1 - window) * early_response)
-            + late_field
-        )
-        self.audio_data = aug_ir_data
+        # blend: the early response is scaled by alpha inside the window
+        # and kept as-is outside it, then the late field is restored
+        scaled_early = early_response * (1 + (alpha - 1) * window)
+        self.audio_data = scaled_early + late_field
         self.ensure_max_of_audio()
         return self

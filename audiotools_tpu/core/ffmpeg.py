@@ -43,24 +43,22 @@ def r128stats(filepath: str, quiet: bool = True):
         proc = subprocess.Popen(
             ffargs, stderr=subprocess.PIPE, universal_newlines=True
         )
-        stats = proc.communicate()[1]
-        summary_index = stats.rfind("Summary:")
-        summary_list = stats[summary_index:].split()
-        i_lufs = float(summary_list[summary_list.index("I:") + 1])
-        i_thresh = float(summary_list[summary_list.index("I:") + 4])
-        lra = float(summary_list[summary_list.index("LRA:") + 1])
-        lra_thresh = float(summary_list[summary_list.index("LRA:") + 4])
-        lra_low = float(summary_list[summary_list.index("low:") + 1])
-        lra_high = float(summary_list[summary_list.index("high:") + 1])
-        stats_dict = {
-            "I": i_lufs,
-            "I Threshold": i_thresh,
-            "LRA": lra,
-            "LRA Threshold": lra_thresh,
-            "LRA Low": lra_low,
-            "LRA High": lra_high,
+        # the filter prints its Summary block on stderr; fields follow
+        # their tags ("I:" is trailed by value, unit, "Threshold:", value)
+        summary = proc.communicate()[1]
+        tokens = summary[summary.rfind("Summary:"):].split()
+
+        def field(tag, skip=1):
+            return float(tokens[tokens.index(tag) + skip])
+
+        return {
+            "I": field("I:"),
+            "I Threshold": field("I:", skip=4),
+            "LRA": field("LRA:"),
+            "LRA Threshold": field("LRA:", skip=4),
+            "LRA Low": field("low:"),
+            "LRA High": field("high:"),
         }
-        return stats_dict
 
     # native fallback
     from ..io import load_audio
@@ -111,17 +109,17 @@ class FFMPEGMixin:
 
     def ffmpeg_loudness(self, quiet: bool = True):
         """Integrated loudness via the r128 path (reference ffmpeg.py:92-114)."""
-        loudness = []
-
-        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-            for i in range(self.batch_size):
-                self[i].write(f.name)
-                loudness_stats = r128stats(f.name, quiet=quiet)
-                loudness.append(loudness_stats["I"])
-
         import jax.numpy as jnp
 
-        self._loudness = jnp.asarray(np.array(loudness)).astype(jnp.float32)
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+
+            def integrated(i):
+                self[i].write(f.name)
+                return r128stats(f.name, quiet=quiet)["I"]
+
+            per_item = [integrated(i) for i in range(self.batch_size)]
+
+        self._loudness = jnp.asarray(np.array(per_item)).astype(jnp.float32)
         return self.loudness()
 
     def ffmpeg_resample(self, sample_rate: int, quiet: bool = True):

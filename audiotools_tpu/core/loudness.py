@@ -29,12 +29,8 @@ class Meter:
     """
 
     def __init__(
-        self,
-        rate: int,
-        filter_class: str = "K-weighting",
-        block_size: float = 0.400,
-        zeros: int = 512,
-        use_fir: bool = False,
+        self, rate: int, filter_class: str = "K-weighting",
+        block_size: float = 0.400, zeros: int = 512, use_fir: bool = False,
     ):
         self.rate = rate
         self.filter_class = filter_class

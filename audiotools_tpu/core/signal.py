@@ -68,14 +68,8 @@ class _MetaBox:
 
 
 class AudioSignal(
-    EffectMixin,
-    LoudnessMixin,
-    PlayMixin,
-    ImpulseResponseMixin,
-    DSPMixin,
-    DisplayMixin,
-    FFMPEGMixin,
-    WhisperMixin,
+    EffectMixin, LoudnessMixin, PlayMixin, ImpulseResponseMixin,
+    DSPMixin, DisplayMixin, FFMPEGMixin, WhisperMixin,
 ):
     """The core object of this library (reference audio_signal.py:53-120).
 
@@ -91,34 +85,11 @@ class AudioSignal(
     _stft_valid_frames = None
 
     def __init__(
-        self,
-        audio_path_or_array,
-        sample_rate: int = None,
-        stft_params: STFTParams = None,
-        offset: float = 0,
-        duration: float = None,
-        device: str = None,
+        self, audio_path_or_array, sample_rate: int = None,
+        stft_params: STFTParams = None, offset: float = 0,
+        duration: float = None, device: str = None,
     ):
-        audio_path = None
-        audio_array = None
-
-        if isinstance(audio_path_or_array, str):
-            audio_path = audio_path_or_array
-        elif isinstance(audio_path_or_array, pathlib.Path):
-            audio_path = audio_path_or_array
-        elif isinstance(audio_path_or_array, (np.ndarray, jnp.ndarray)):
-            audio_array = audio_path_or_array
-        elif isinstance(audio_path_or_array, (list, tuple)):
-            audio_array = np.asarray(audio_path_or_array)
-        elif hasattr(audio_path_or_array, "numpy"):  # torch tensor interop
-            audio_array = audio_path_or_array.detach().cpu().numpy()
-        else:
-            raise ValueError(
-                "Cannot build an AudioSignal from "
-                f"{type(audio_path_or_array).__name__}: expected a path "
-                "(str/Path), a numpy/jax array, or a list/tuple of samples."
-            )
-
+        source = audio_path_or_array
         self.path_to_file = None
         self._audio_data = None
         self._stft_data = None
@@ -126,15 +97,28 @@ class AudioSignal(
         self.sources = None
         self.original_signal_length = None
 
-        if audio_path is not None:
+        if isinstance(source, (list, tuple)):
+            source = np.asarray(source)
+        elif hasattr(source, "numpy") and not isinstance(
+            source, (np.ndarray, jnp.ndarray)
+        ):  # torch tensor interop
+            source = source.detach().cpu().numpy()
+
+        if isinstance(source, (str, pathlib.Path)):
             self.load_from_file(
-                audio_path, offset=offset, duration=duration, device=device
+                source, offset=offset, duration=duration, device=device
             )
-        elif audio_array is not None:
+        elif isinstance(source, (np.ndarray, jnp.ndarray)):
             assert sample_rate is not None, (
                 "sample_rate is required when constructing from an array"
             )
-            self.load_from_array(audio_array, sample_rate, device=device)
+            self.load_from_array(source, sample_rate, device=device)
+        else:
+            raise ValueError(
+                "Cannot build an AudioSignal from "
+                f"{type(audio_path_or_array).__name__}: expected a path "
+                "(str/Path), a numpy/jax array, or a list/tuple of samples."
+            )
 
         self.stft_params = stft_params
 
@@ -212,19 +196,14 @@ class AudioSignal(
     @classmethod
     def excerpt(cls, audio_path, offset=None, duration=None, state=None, **kwargs):
         """Random excerpt of ``duration`` seconds
-        (reference audio_signal.py:179-225)."""
-        info = util.info(audio_path)
-        total_duration = info.duration
-
+        (reference audio_signal.py:179-225): the start offset is drawn
+        uniformly from [offset or 0, file_duration - duration]."""
+        total = util.info(audio_path).duration
         state = util.random_state(state)
-        lower_bound = 0 if offset is None else offset
-        upper_bound = max(total_duration - duration, 0)
-        offset = state.uniform(lower_bound, upper_bound)
+        offset = state.uniform(offset or 0, max(total - duration, 0))
 
         signal = cls(audio_path, offset=offset, duration=duration, **kwargs)
-        signal.metadata["offset"] = offset
-        signal.metadata["duration"] = duration
-
+        signal.metadata.update(offset=offset, duration=duration)
         return signal
 
     @classmethod
@@ -271,27 +250,24 @@ class AudioSignal(
         cls, frequency, duration, sample_rate, num_channels=1, shape="sine", **kwargs
     ):
         """Waveform generator (reference audio_signal.py:326-378)."""
-        n_samples = int(duration * sample_rate)
-        t = np.linspace(0, duration, n_samples)
-        if shape == "sawtooth":
-            from scipy.signal import sawtooth
+        import scipy.signal as sps
 
-            wave_data = sawtooth(2 * np.pi * frequency * t, 0.5)
-        elif shape == "square":
-            from scipy.signal import square
+        t = np.linspace(0, duration, int(duration * sample_rate))
 
-            wave_data = square(2 * np.pi * frequency * t)
-        elif shape == "sine":
-            wave_data = np.sin(2 * np.pi * frequency * t)
-        elif shape == "triangle":
-            from scipy.signal import sawtooth
-
+        def triangle(phase):
             # folding with abs() halves the period, so drive sawtooth at
             # pi*f instead of 2*pi*f to land on the requested frequency
-            wave_data = sawtooth(np.pi * frequency * t, 0.5)
-            wave_data = -np.abs(wave_data) * 2 + 1
-        else:
+            return 1.0 - 2.0 * np.abs(sps.sawtooth(phase / 2, 0.5))
+
+        generators = {
+            "sawtooth": lambda ph: sps.sawtooth(ph, 0.5),
+            "square": sps.square,
+            "sine": np.sin,
+            "triangle": triangle,
+        }
+        if shape not in generators:
             raise ValueError(f"Invalid shape {shape}")
+        wave_data = generators[shape](2 * np.pi * frequency * t)
 
         wave_data = np.tile(
             wave_data.astype(np.float32)[None, None, :], (1, num_channels, 1)
@@ -300,49 +276,45 @@ class AudioSignal(
 
     @classmethod
     def batch(
-        cls,
-        audio_signals: list,
-        pad_signals: bool = False,
-        truncate_signals: bool = False,
-        resample: bool = False,
-        dim: int = 0,
+        cls, audio_signals: list, pad_signals: bool = False,
+        truncate_signals: bool = False, resample: bool = False, dim: int = 0,
     ):
-        """Batch a list of AudioSignals (reference audio_signal.py:380-470)."""
-        signal_lengths = [x.signal_length for x in audio_signals]
-        sample_rates = [x.sample_rate for x in audio_signals]
-
-        if len(set(sample_rates)) != 1:
-            if resample:
-                for x in audio_signals:
-                    x.resample(sample_rates[0])
-            else:
+        """Batch a list of AudioSignals (reference audio_signal.py:380-470):
+        mixed sample rates / lengths must be explicitly reconciled via
+        ``resample`` / ``pad_signals`` / ``truncate_signals``."""
+        rates = {x.sample_rate for x in audio_signals}
+        if len(rates) > 1:
+            if not resample:
                 raise RuntimeError(
                     f"Cannot batch signals with mixed sample rates "
-                    f"{sample_rates}; pass resample=True to unify them."
+                    f"{sorted(rates)}; pass resample=True to unify them."
                 )
+            for x in audio_signals:
+                x.resample(audio_signals[0].sample_rate)
 
-        if len(set(signal_lengths)) != 1:
+        lengths = [x.signal_length for x in audio_signals]
+        if len(set(lengths)) > 1:
             if pad_signals:
-                max_length = max(signal_lengths)
+                target = max(lengths)
                 for x in audio_signals:
-                    pad_len = max_length - x.signal_length
-                    x.zero_pad(0, pad_len)
+                    x.zero_pad(0, target - x.signal_length)
             elif truncate_signals:
-                min_length = min(signal_lengths)
+                target = min(lengths)
                 for x in audio_signals:
-                    x.truncate_samples(min_length)
+                    x.truncate_samples(target)
             else:
                 raise RuntimeError(
                     f"Cannot batch signals of differing lengths "
-                    f"{signal_lengths}; pass pad_signals=True or "
+                    f"{lengths}; pass pad_signals=True or "
                     f"truncate_signals=True to reconcile them."
                 )
-        audio_data = jnp.concatenate([x.audio_data for x in audio_signals], axis=dim)
-        audio_paths = [x.path_to_file for x in audio_signals]
 
-        batched_signal = cls(audio_data, sample_rate=audio_signals[0].sample_rate)
-        batched_signal.path_to_file = audio_paths
-        return batched_signal
+        stacked = cls(
+            jnp.concatenate([x.audio_data for x in audio_signals], axis=dim),
+            sample_rate=audio_signals[0].sample_rate,
+        )
+        stacked.path_to_file = [x.path_to_file for x in audio_signals]
+        return stacked
 
     # ------------------------------------------------------------------
     # I/O (reference audio_signal.py:472-605)
@@ -399,13 +371,13 @@ class AudioSignal(
         self.path_to_file = audio_path
         return self
 
-    def deepcopy(self):
-        """Deep copy (reference audio_signal.py:607-615)."""
-        return copy.deepcopy(self)
-
     def copy(self):
         """Shallow copy (reference audio_signal.py:617-625)."""
         return copy.copy(self)
+
+    def deepcopy(self):
+        """Deep copy (reference audio_signal.py:607-615)."""
+        return copy.deepcopy(self)
 
     def clone(self):
         """Copy with fresh array references (reference audio_signal.py:627-652)."""
@@ -520,18 +492,17 @@ class AudioSignal(
 
     def zero_pad_to(self, length: int, mode: str = "after"):
         """Pad to a target length (reference audio_signal.py:817-837)."""
+        shortfall = max(length - self.signal_length, 0)
         if mode == "before":
-            self.zero_pad(max(length - self.signal_length, 0), 0)
+            self.zero_pad(shortfall, 0)
         elif mode == "after":
-            self.zero_pad(0, max(length - self.signal_length, 0))
+            self.zero_pad(0, shortfall)
         return self
 
     def trim(self, before: int, after: int):
         """Trim samples off both ends (reference audio_signal.py:839-858)."""
-        if after == 0:
-            self.audio_data = self.audio_data[..., before:]
-        else:
-            self.audio_data = self.audio_data[..., before:-after]
+        stop = self.signal_length - after
+        self.audio_data = self.audio_data[..., before:stop]
         return self
 
     def truncate_samples(self, length_in_samples: int):
@@ -585,28 +556,28 @@ class AudioSignal(
         self._stft_data = data
 
     @property
+    def shape(self):
+        return self.audio_data.shape
+
+    @property
     def batch_size(self):
-        return self.audio_data.shape[0]
+        return self.shape[0]
+
+    @property
+    def num_channels(self):
+        return self.shape[1]
 
     @property
     def signal_length(self):
-        return self.audio_data.shape[-1]
-
-    length = signal_length
-
-    @property
-    def shape(self):
-        return self.audio_data.shape
+        return self.shape[-1]
 
     @property
     def signal_duration(self):
         return self.signal_length / self.sample_rate
 
+    # reference aliases (audio_signal.py:958-1006)
+    length = signal_length
     duration = signal_duration
-
-    @property
-    def num_channels(self):
-        return self.audio_data.shape[1]
 
     # ------------------------------------------------------------------
     # STFT (reference audio_signal.py:1008-1516)
@@ -651,16 +622,23 @@ class AudioSignal(
             self.signal_length, window_length, hop_length, match_stride
         )
 
+    def _fill_stft_args(self, window_length, hop_length, window_type,
+                        match_stride, padding_type=None):
+        """Resolve unspecified STFT arguments from ``self.stft_params``."""
+        p = self.stft_params
+        return (
+            p.window_length if window_length is None else int(window_length),
+            p.hop_length if hop_length is None else int(hop_length),
+            p.window_type if window_type is None else window_type,
+            p.match_stride if match_stride is None else match_stride,
+            p.padding_type if padding_type is None else padding_type,
+        )
+
     def stft(
-        self,
-        window_length: int = None,
-        hop_length: int = None,
-        window_type: str = None,
-        match_stride: bool = None,
-        padding_type: str = None,
-        method: str = "fft",
-        mesh=None,
-        axis_name: str = "sp",
+        self, window_length: int = None, hop_length: int = None,
+        window_type: str = None, match_stride: bool = None,
+        padding_type: str = None, method: str = "fft",
+        mesh=None, axis_name: str = "sp",
     ):
         """Compute and cache the STFT (reference audio_signal.py:1123-1212).
 
@@ -676,22 +654,9 @@ class AudioSignal(
         (requires ``match_stride=False``, reflect padding; see
         docs/tutorials/long_signals.md).
         """
-        window_length = (
-            self.stft_params.window_length
-            if window_length is None
-            else int(window_length)
-        )
-        hop_length = (
-            self.stft_params.hop_length if hop_length is None else int(hop_length)
-        )
-        window_type = (
-            self.stft_params.window_type if window_type is None else window_type
-        )
-        match_stride = (
-            self.stft_params.match_stride if match_stride is None else match_stride
-        )
-        padding_type = (
-            self.stft_params.padding_type if padding_type is None else padding_type
+        (window_length, hop_length, window_type, match_stride,
+         padding_type) = self._fill_stft_args(
+            window_length, hop_length, window_type, match_stride, padding_type
         )
 
         if mesh is not None:
@@ -737,14 +702,9 @@ class AudioSignal(
         return stft_data
 
     def istft(
-        self,
-        window_length: int = None,
-        hop_length: int = None,
-        window_type: str = None,
-        match_stride: bool = None,
-        length: int = None,
-        mesh=None,
-        axis_name: str = "sp",
+        self, window_length: int = None, hop_length: int = None,
+        window_type: str = None, match_stride: bool = None,
+        length: int = None, mesh=None, axis_name: str = "sp",
     ):
         """Inverse STFT into ``audio_data`` (reference audio_signal.py:1214-1296).
 
@@ -756,19 +716,10 @@ class AudioSignal(
         if self.stft_data is None:
             raise RuntimeError("Cannot do inverse STFT without self.stft_data!")
 
-        window_length = (
-            self.stft_params.window_length
-            if window_length is None
-            else int(window_length)
-        )
-        hop_length = (
-            self.stft_params.hop_length if hop_length is None else int(hop_length)
-        )
-        window_type = (
-            self.stft_params.window_type if window_type is None else window_type
-        )
-        match_stride = (
-            self.stft_params.match_stride if match_stride is None else match_stride
+        window_length, hop_length, window_type, match_stride, _ = (
+            self._fill_stft_args(
+                window_length, hop_length, window_type, match_stride
+            )
         )
 
         if mesh is not None:
@@ -821,13 +772,9 @@ class AudioSignal(
         stft = self.stft(**kwargs)
         magnitude = jnp.abs(stft)
 
-        nf = magnitude.shape[2]
+        n_fft = 2 * (magnitude.shape[2] - 1)
         mel_basis = self.get_mel_filters(
-            sr=self.sample_rate,
-            n_fft=2 * (nf - 1),
-            n_mels=n_mels,
-            fmin=mel_fmin,
-            fmax=mel_fmax,
+            self.sample_rate, n_fft, n_mels, fmin=mel_fmin, fmax=mel_fmax
         )
         mel = jnp.einsum(
             "bcft,mf->bcmt",
@@ -920,45 +867,40 @@ class AudioSignal(
     # ------------------------------------------------------------------
 
     def _info(self):
-        dur = f"{self.signal_duration:0.3f}" if self.signal_duration else "[unknown]"
-        info = {
+        """(key, value) description rows shared by markdown/str/rich
+        reprs; row set and wording match the reference
+        (audio_signal.py:1552-1566)."""
+        dur = (
+            f"{self.signal_duration:0.3f}"
+            if self.signal_duration else "[unknown]"
+        )
+        return {
             "duration": f"{dur} seconds",
             "batch_size": self.batch_size,
-            "path": self.path_to_file if self.path_to_file else "path unknown",
+            "path": self.path_to_file or "path unknown",
             "sample_rate": self.sample_rate,
-            "num_channels": self.num_channels if self.num_channels else "[unknown]",
+            "num_channels": self.num_channels or "[unknown]",
             "audio_data.shape": self.audio_data.shape,
             "stft_params": self.stft_params,
             "device": self.device,
         }
-        return info
 
     def markdown(self):
         """Markdown table representation (reference audio_signal.py:1568-1597)."""
-        info = self._info()
-
-        FORMAT = "| Key | Value \n" "|---|--- \n"
-        for k, v in info.items():
-            row = f"| {k} | {v} |\n"
-            FORMAT += row
-        return FORMAT
+        rows = "".join(f"| {k} | {v} |\n" for k, v in self._info().items())
+        return "| Key | Value \n|---|--- \n" + rows
 
     def __str__(self):
-        info = self._info()
-        desc = ""
-        for k, v in info.items():
-            desc += f"{k}: {v}\n"
-        return desc
+        return "".join(f"{k}: {v}\n" for k, v in self._info().items())
 
     def __rich__(self):
         from rich.table import Table
 
-        info = self._info()
         table = Table(title=f"{self.__class__.__name__}")
         table.add_column("Key", style="green")
         table.add_column("Value", style="cyan")
-        for k, v in info.items():
-            table.add_row(k, str(v))
+        for key, value in self._info().items():
+            table.add_row(key, str(value))
         return table
 
     # ------------------------------------------------------------------

@@ -11,8 +11,7 @@ import math
 import numbers
 import os
 import random
-import typing
-from contextlib import contextmanager
+from contextlib import contextmanager, suppress
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List
@@ -123,17 +122,18 @@ def hz_to_bin(hz, n_fft: int, sample_rate: int):
 
 
 def random_state(seed):
-    """Turn a seed into a np.random.RandomState (reference util.py:129-160)."""
+    """Turn a seed into a np.random.RandomState (reference util.py:129-160):
+    None/np.random -> the global state; ints seed a fresh state; an
+    existing state passes through."""
+    if isinstance(seed, np.random.RandomState):
+        return seed
     if seed is None or seed is np.random:
         return np.random.mtrand._rand
-    elif isinstance(seed, (numbers.Integral, np.integer, int)):
+    if isinstance(seed, (numbers.Integral, np.integer, int)):
         return np.random.RandomState(seed)
-    elif isinstance(seed, np.random.RandomState):
-        return seed
-    else:
-        raise ValueError(
-            f"{seed!r} cannot be used to seed a numpy.random.RandomState instance"
-        )
+    raise ValueError(
+        f"{seed!r} cannot be used to seed a numpy.random.RandomState instance"
+    )
 
 
 def seed(random_seed):
@@ -154,17 +154,17 @@ AUDIO_EXTENSIONS = [".wav", ".flac", ".mp3", ".ogg"]
 
 def find_audio(folder: str, ext: List[str] = AUDIO_EXTENSIONS):
     """Find all audio files in a directory recursively (reference
-    util.py:225-251)."""
-    folder = Path(folder)
-    if str(folder).endswith(tuple(ext)):
-        if "*" in str(folder):
-            return glob.glob(str(folder), recursive=("**" in str(folder)))
-        else:
-            return [folder]
-    files = []
-    for x in ext:
-        files += folder.glob(f"**/*{x}")
-    return files
+    util.py:225-251). A path that itself names an audio file (or a glob
+    pattern of one) is returned as-is."""
+    name = str(folder)
+    if name.endswith(tuple(ext)):
+        if "*" not in name:
+            return [Path(folder)]
+        return glob.glob(name, recursive="**" in name)
+    found = []
+    for suffix in ext:
+        found.extend(Path(folder).glob(f"**/*{suffix}"))
+    return found
 
 
 def read_sources(
@@ -189,23 +189,25 @@ def read_sources(
     csv_anchor = Path(csv_anchor)
     files = []
     relative_path = Path(relative_path or "")
+    def rows_from_csv(path):
+        with open(path, "r") as f:
+            for row in csv.DictReader(f):
+                if row["path"]:
+                    row["path"] = str(csv_anchor / row["path"])
+                    yield row
+                elif not remove_empty:
+                    yield row
+
     for source in sources:
         source = str(source)
-        _files = []
         if source.endswith(".csv"):
-            with open(source, "r") as f:
-                reader = csv.DictReader(f)
-                for x in reader:
-                    if remove_empty and x["path"] == "":
-                        continue
-                    if x["path"] != "":
-                        x["path"] = str(csv_anchor / x["path"])
-                    _files.append(x)
+            entries = list(rows_from_csv(source))
         else:
-            for x in find_audio(source, ext=ext):
-                x = str(relative_path / x)
-                _files.append({"path": x})
-        files.append(sorted(_files, key=lambda x: x["path"]))
+            entries = [
+                {"path": str(relative_path / found)}
+                for found in find_audio(source, ext=ext)
+            ]
+        files.append(sorted(entries, key=lambda row: row["path"]))
     return files
 
 
@@ -348,30 +350,26 @@ def collate(list_of_dicts: list, n_splits: int = None):
     (reference util.py:426-479)."""
     from .signal import AudioSignal
 
-    batches = []
-    list_len = len(list_of_dicts)
+    def collate_chunk(items):
+        """Collate one sub-batch of flattened item dicts, key by key."""
+        flat_items = [flatten(d) for d in items]
+        merged = {}
+        for key in flat_items[0]:
+            column = [d[key] for d in flat_items]
+            if all(isinstance(s, AudioSignal) for s in column):
+                merged[key] = AudioSignal.batch(column, pad_signals=True)
+            else:
+                merged[key] = _default_collate(column)
+        return unflatten(merged)
 
-    return_list = False if n_splits is None else True
-    n_splits = 1 if n_splits is None else n_splits
-    n_items = int(math.ceil(list_len / n_splits))
+    if n_splits is None:
+        return collate_chunk(list_of_dicts)
 
-    for i in range(0, list_len, n_items):
-        list_of_dicts_ = [flatten(d) for d in list_of_dicts[i : i + n_items]]
-        dict_of_lists = {
-            k: [dic[k] for dic in list_of_dicts_] for k in list_of_dicts_[0]
-        }
-
-        batch = {}
-        for k, v in dict_of_lists.items():
-            if isinstance(v, list):
-                if all(isinstance(s, AudioSignal) for s in v):
-                    batch[k] = AudioSignal.batch(v, pad_signals=True)
-                else:
-                    batch[k] = _default_collate(v)
-        batches.append(unflatten(batch))
-
-    batches = batches[0] if not return_list else batches
-    return batches
+    per_split = int(math.ceil(len(list_of_dicts) / n_splits))
+    return [
+        collate_chunk(list_of_dicts[i : i + per_split])
+        for i in range(0, len(list_of_dicts), per_split)
+    ]
 
 
 # -----------------------------------------------------------------------------
@@ -421,12 +419,8 @@ def _inset_tick_labels(host_ax, ax, axis: str, color: str, fontsize: float):
 
 
 def format_figure(
-    fig_size: tuple = None,
-    title: str = None,
-    fig=None,
-    format_axes: bool = True,
-    format: bool = True,
-    font_color: str = "white",
+    fig_size: tuple = None, title: str = None, fig=None,
+    format_axes: bool = True, format: bool = True, font_color: str = "white",
 ):
     """Borderless audio-plot styling: hide the matplotlib chrome, redraw
     tick labels *inside* the data area, and optionally inset a boxed title
@@ -500,76 +494,61 @@ def midi_to_hz(midi: float) -> float:
 
 
 def generate_chord_dataset(
-    max_voices: int = 8,
-    sample_rate: int = 44100,
-    num_items: int = 5,
-    duration: float = 1.0,
-    min_note: str = "C2",
-    max_note: str = "C6",
+    max_voices: int = 8, sample_rate: int = 44100, num_items: int = 5,
+    duration: float = 1.0, min_note: str = "C2", max_note: str = "C6",
     output_dir: Path = "chords",
 ):
-    """Toy multitrack dataset of sine chords (reference util.py:593-671)."""
+    """Toy multitrack dataset of sine chords (parity with reference
+    util.py:593-671): ``num_items`` tracks of 1..max_voices sine voices,
+    written as per-track wav folders plus one aligned CSV per voice name
+    (empty cells where a track lacks that voice)."""
     from .signal import AudioSignal
     from ..data.preprocess import create_csv
 
-    min_midi = note_to_midi(min_note)
-    max_midi = note_to_midi(max_note)
-
-    tracks = []
-    for idx in range(num_items):
-        track = {}
-        num_voices = random.randint(1, max_voices)
-        for voice_idx in range(num_voices):
-            midinote = random.randint(min_midi, max_midi)
-            dur = random.uniform(0.85 * duration, duration)
-
-            sig = AudioSignal.wave(
-                frequency=midi_to_hz(midinote),
-                duration=dur,
-                sample_rate=sample_rate,
-                shape="sine",
-            )
-            track[f"voice_{voice_idx}"] = sig
-        tracks.append(track)
-
+    midi_range = (note_to_midi(min_note), note_to_midi(max_note))
     output_dir = Path(output_dir)
     output_dir.mkdir(exist_ok=True)
-    for idx, track in enumerate(tracks):
+
+    def random_voice():
+        return AudioSignal.wave(
+            frequency=midi_to_hz(random.randint(*midi_range)),
+            duration=random.uniform(0.85 * duration, duration),
+            sample_rate=sample_rate,
+            shape="sine",
+        )
+
+    # draw order (voices before durations per voice, tracks in sequence)
+    # matches the reference so seeded runs make the same dataset
+    tracks = []
+    for idx in range(num_items):
+        voices = {
+            f"voice_{v}": random_voice()
+            for v in range(random.randint(1, max_voices))
+        }
         track_dir = output_dir / f"track_{idx}"
         track_dir.mkdir(exist_ok=True)
-        for voice_name, sig in track.items():
-            sig.write(track_dir / f"{voice_name}.wav")
+        for name, sig in voices.items():
+            sig.write(track_dir / f"{name}.wav")
+        tracks.append(voices)
 
-    all_voices = list(set([k for track in tracks for k in track.keys()]))
-    voice_lists = {voice: [] for voice in all_voices}
-    for track in tracks:
-        for voice_name in all_voices:
-            if voice_name in track:
-                voice_lists[voice_name].append(track[voice_name].path_to_file)
-            else:
-                voice_lists[voice_name].append("")
-
-    for voice_name, paths in voice_lists.items():
-        create_csv(paths, output_dir / f"{voice_name}.csv", loudness=True)
+    for name in {name for track in tracks for name in track}:
+        column = [
+            str(track[name].path_to_file) if name in track else ""
+            for track in tracks
+        ]
+        create_csv(column, output_dir / f"{name}.csv", loudness=True)
 
     return output_dir
 
 
 @contextmanager
 def _close_temp_files(tmpfiles: list):
-    """Close and unlink temp files on exit (reference util.py:191-219)."""
-
-    def _close():
-        for t in tmpfiles:
-            try:
-                t.close()
-                os.unlink(t.name)
-            except:
-                pass
-
+    """Close and unlink temp files when the block exits, whether by
+    success or error (reference util.py:191-219)."""
     try:
         yield
-    except:
-        _close()
-        raise
-    _close()
+    finally:
+        for handle in tmpfiles:
+            with suppress(Exception):
+                handle.close()
+                os.unlink(handle.name)

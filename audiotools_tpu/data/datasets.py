@@ -39,31 +39,25 @@ class AudioLoader:
     """
 
     def __init__(
-        self,
-        sources: List[str] = None,
-        weights: List[float] = None,
-        transform: Callable = None,
-        relative_path: str = None,
-        ext: List[str] = util.AUDIO_EXTENSIONS,
-        shuffle: bool = True,
+        self, sources: List[str] = None, weights: List[float] = None,
+        transform: Callable = None, relative_path: str = None,
+        ext: List[str] = util.AUDIO_EXTENSIONS, shuffle: bool = True,
         shuffle_state: int = 0,
     ):
-        self.audio_lists = util.read_sources(
-            sources, relative_path=relative_path, ext=ext
-        )
-
-        self.audio_indices = [
-            (src_idx, item_idx)
-            for src_idx, src in enumerate(self.audio_lists)
-            for item_idx in range(len(src))
-        ]
-        if shuffle:
-            state = util.random_state(shuffle_state)
-            state.shuffle(self.audio_indices)
-
         self.sources = sources
         self.weights = weights
         self.transform = transform
+        self.audio_lists = util.read_sources(
+            sources, relative_path=relative_path, ext=ext
+        )
+        # flat (source, item) index space for without-replacement mode
+        self.audio_indices = [
+            (src_idx, item_idx)
+            for src_idx, entries in enumerate(self.audio_lists)
+            for item_idx in range(len(entries))
+        ]
+        if shuffle:
+            util.random_state(shuffle_state).shuffle(self.audio_indices)
 
     def _select(self, state, source_idx, item_idx, global_idx):
         """Resolve one CSV/folder entry via one of three addressing modes:
@@ -111,16 +105,10 @@ class AudioLoader:
         return signal
 
     def __call__(
-        self,
-        state,
-        sample_rate: int,
-        duration: float,
-        loudness_cutoff: float = -40,
-        num_channels: int = 1,
-        offset: float = None,
-        source_idx: int = None,
-        item_idx: int = None,
-        global_idx: int = None,
+        self, state, sample_rate: int, duration: float,
+        loudness_cutoff: float = -40, num_channels: int = 1,
+        offset: float = None, source_idx: int = None,
+        item_idx: int = None, global_idx: int = None,
     ):
         entry, source_idx, item_idx = self._select(
             state, source_idx, item_idx, global_idx
@@ -177,17 +165,11 @@ class AudioDataset:
     def __init__(
         self,
         loaders: Union[AudioLoader, List[AudioLoader], Dict[str, AudioLoader]],
-        sample_rate: int,
-        n_examples: int = 1000,
-        duration: float = 0.5,
-        offset: float = None,
-        loudness_cutoff: float = -40,
-        num_channels: int = 1,
-        transform: Callable = None,
-        aligned: bool = False,
-        shuffle_loaders: bool = False,
-        matcher: Callable = default_matcher,
-        without_replacement: bool = True,
+        sample_rate: int, n_examples: int = 1000, duration: float = 0.5,
+        offset: float = None, loudness_cutoff: float = -40,
+        num_channels: int = 1, transform: Callable = None,
+        aligned: bool = False, shuffle_loaders: bool = False,
+        matcher: Callable = default_matcher, without_replacement: bool = True,
     ):
         # Normalise every accepted loader spec to an ordered name->loader map.
         if isinstance(loaders, AudioLoader):
@@ -264,24 +246,23 @@ class AudioDataset:
     def __len__(self):
         return self.length
 
-    @staticmethod
-    def collate(list_of_dicts: Union[list, dict], n_splits: int = None):
-        """AudioSignal-aware collation (reference datasets.py:457-475)."""
-        return util.collate(list_of_dicts, n_splits=n_splits)
+    # AudioSignal-aware collation (reference datasets.py:457-475)
+    collate = staticmethod(util.collate)
 
 
 class ConcatDataset(AudioDataset):
-    """Interleaved concatenation (reference datasets.py:478-487)."""
+    """Interleaved concatenation: index ``i`` round-robins across the
+    children (reference datasets.py:478-487)."""
 
     def __init__(self, datasets: list):
         self.datasets = datasets
 
     def __len__(self):
-        return sum([len(d) for d in self.datasets])
+        return sum(len(child) for child in self.datasets)
 
     def __getitem__(self, idx):
-        dataset = self.datasets[idx % len(self.datasets)]
-        return dataset[idx // len(self.datasets)]
+        which, inner = idx % len(self.datasets), idx // len(self.datasets)
+        return self.datasets[which][inner]
 
 
 class ResumableSequentialSampler:

@@ -375,33 +375,36 @@ def visqol(
         )
         return _nsim.nsim_to_moslqo(scores)
 
-    config = visqol_config_pb2.VisqolConfig()
-    if mode == "audio":
-        target_sr = 48000
-        config.options.use_speech_scoring = False
-        svr_model_path = "libsvm_nu_svr_model.txt"
-    elif mode == "speech":
-        target_sr = 16000
-        config.options.use_speech_scoring = True
-        svr_model_path = "lattice_tcditugenmeetpackhref_ls2_nl60_lr12_bs2048_learn.005_ep2400_train1_7_raw.tflite"
-    else:
+    # (sample rate, speech scoring flag, bundled SVR model) per mode —
+    # values pinned by the ViSQOL library's own configuration
+    mode_settings = {
+        "audio": (48000, False, "libsvm_nu_svr_model.txt"),
+        "speech": (
+            16000, True,
+            "lattice_tcditugenmeetpackhref_ls2_nl60_lr12_bs2048_"
+            "learn.005_ep2400_train1_7_raw.tflite",
+        ),
+    }
+    if mode not in mode_settings:
         raise ValueError(f"Unrecognized mode: {mode}")
-    config.audio.sample_rate = target_sr
-    config.options.svr_model_path = os.path.join(
-        os.path.dirname(visqol_lib_py.__file__), "model", svr_model_path
-    )
+    target_sr, speech_scoring, svr_model = mode_settings[mode]
 
+    config = visqol_config_pb2.VisqolConfig()
+    config.audio.sample_rate = target_sr
+    config.options.use_speech_scoring = speech_scoring
+    config.options.svr_model_path = os.path.join(
+        os.path.dirname(visqol_lib_py.__file__), "model", svr_model
+    )
     api = visqol_lib_py.VisqolApi()
     api.Create(config)
 
     estimates = estimates.clone().to_mono().resample(target_sr)
     references = references.clone().to_mono().resample(target_sr)
 
-    visqols = []
-    for i in range(estimates.batch_size):
-        _visqol = api.Measure(
-            np.asarray(references.audio_data[i, 0]).astype(float),
-            np.asarray(estimates.audio_data[i, 0]).astype(float),
-        )
-        visqols.append(_visqol.moslqo)
-    return jnp.asarray(np.array(visqols))
+    def measure(i):
+        ref = np.asarray(references.audio_data[i, 0]).astype(float)
+        est = np.asarray(estimates.audio_data[i, 0]).astype(float)
+        return api.Measure(ref, est).moslqo
+
+    scores = [measure(i) for i in range(estimates.batch_size)]
+    return jnp.asarray(np.array(scores))

@@ -93,12 +93,8 @@ class BaseModel(nn.Module):
 
     @classmethod
     def load(
-        cls,
-        location: str,
-        *args,
-        package_name: str = None,
-        strict: bool = False,
-        **kwargs,
+        cls, location: str, *args,
+        package_name: str = None, strict: bool = False, **kwargs,
     ):
         """Load (model, params) from a file saved by ``save``
         (reference base.py:579-626). If the class can't be found on the
@@ -146,17 +142,12 @@ class BaseModel(nn.Module):
         return jax.devices()[0]
 
     def save_to_folder(
-        self,
-        folder: typing.Union[str, Path],
-        params=None,
-        extra_data: dict = None,
-        package: bool = True,
+        self, folder: typing.Union[str, Path], params=None,
+        extra_data: dict = None, package: bool = True,
     ):
         """Dump model as package + weights + extra data under
         ``folder/<classname>/`` (reference base.py:677-725)."""
-        extra_data = {} if extra_data is None else extra_data
-        model_name = type(self).__name__.lower()
-        target_base = Path(f"{folder}/{model_name}/")
+        target_base = Path(folder) / type(self).__name__.lower()
         target_base.mkdir(exist_ok=True, parents=True)
 
         if package:
@@ -166,7 +157,7 @@ class BaseModel(nn.Module):
         weights_path = target_base / "weights.pth"
         self.save(weights_path, params=params, package=False)
 
-        for path, obj in extra_data.items():
+        for path, obj in (extra_data or {}).items():
             with open(target_base / path, "wb") as f:
                 pickle.dump(jax.tree_util.tree_map(_np_leaf, obj), f)
 
@@ -174,26 +165,23 @@ class BaseModel(nn.Module):
 
     @classmethod
     def load_from_folder(
-        cls,
-        folder: typing.Union[str, Path],
-        package: bool = True,
-        strict: bool = False,
-        **kwargs,
+        cls, folder: typing.Union[str, Path], package: bool = True,
+        strict: bool = False, **kwargs,
     ):
         """Load (model, params, extra_data) from a ``save_to_folder``
         layout (reference base.py:727-768)."""
         folder = Path(folder) / cls.__name__.lower()
-        model_pth = "package.pth" if package else "weights.pth"
-        model_pth = folder / model_pth
+        model, params = cls.load(
+            folder / ("package.pth" if package else "weights.pth"),
+            strict=strict,
+        )
 
-        model, params = cls.load(model_pth, strict=strict)
+        reserved = {"package.pth", "weights.pth"}
         extra_data = {}
-        excluded = ["package.pth", "weights.pth"]
-        files = [x for x in folder.glob("*") if x.is_file() and x.name not in excluded]
-        for f in files:
-            with open(f, "rb") as fh:
-                extra_data[f.name] = pickle.load(fh)
-
+        for item in folder.glob("*"):
+            if item.is_file() and item.name not in reserved:
+                with open(item, "rb") as fh:
+                    extra_data[item.name] = pickle.load(fh)
         return model, params, extra_data
 
 

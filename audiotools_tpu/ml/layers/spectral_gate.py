@@ -35,26 +35,25 @@ class SpectralGate:
             smoothing_filter[None, None].astype(np.float32)
         )
 
+    @staticmethod
+    def _fresh_stft(signal: AudioSignal, params: STFTParams) -> AudioSignal:
+        """Clone with the gate's analysis parameters and any cached
+        spectrogram dropped (forces recompute at these settings)."""
+        out = signal.clone()
+        out.stft_data = None
+        out.stft_params = params
+        return out
+
     def __call__(
-        self,
-        audio_signal: AudioSignal,
-        nz_signal: AudioSignal,
-        denoise_amount: float = 1.0,
-        n_std: float = 3.0,
-        win_length: int = 2048,
-        hop_length: int = 512,
+        self, audio_signal: AudioSignal, nz_signal: AudioSignal,
+        denoise_amount: float = 1.0, n_std: float = 3.0,
+        win_length: int = 2048, hop_length: int = 512,
     ):
         """Denoise ``audio_signal`` using noise statistics from
         ``nz_signal`` (reference spectral_gate.py:59-127)."""
         stft_params = STFTParams(win_length, hop_length, "sqrt_hann")
-
-        audio_signal = audio_signal.clone()
-        audio_signal.stft_data = None
-        audio_signal.stft_params = stft_params
-
-        nz_signal = nz_signal.clone()
-        nz_signal.stft_params = stft_params
-        nz_signal.stft_data = None
+        audio_signal = self._fresh_stft(audio_signal, stft_params)
+        nz_signal = self._fresh_stft(nz_signal, stft_params)
 
         nz_stft_db = 20 * jnp.log10(jnp.maximum(nz_signal.magnitude, 1e-4))
         nz_freq_mean = nz_stft_db.mean(axis=-1, keepdims=True)

@@ -29,6 +29,26 @@ import optax
 
 from .train import codec_loss
 
+
+def _apply_paired(disc, d_params, real, fake):
+    """Run the ensemble once on ``concat([real, fake])`` and split the
+    feature maps back into (real_outs, fake_outs).
+
+    Per-item numerics are identical to two separate calls (no op crosses
+    the batch dim; the discriminators are weight-normalized convs, not
+    batch-normed). MEASURED NEGATIVE for the training step on v5e
+    (tests/hw/hw_adv_profile.py RESULT: 174.8 ms paired vs 148.5
+    separate — the concat doubles peak activation memory through the
+    backward), so the train step uses separate calls; kept for inference
+    -style ensemble scoring where no backward runs."""
+    batch = real.shape[0]
+    outs = disc.apply(d_params, jnp.concatenate([real, fake], axis=0))
+    real_outs, fake_outs = [], []
+    for feats in outs:
+        real_outs.append([f[:batch] for f in feats])
+        fake_outs.append([f[batch:] for f in feats])
+    return real_outs, fake_outs
+
 ADV_LOSS_WEIGHTS = {
     # published DAC weighting: mel 15 / adv 1 / feature-matching 2
     "adv/gen": 1.0,

@@ -238,3 +238,128 @@ def fir_conv_causal_batch(
 
     y = out.reshape(B, T_out)[:, :T]
     return y
+
+
+# ---------------------------------------------------------------------------
+# fused phase vocoder (phasor formulation)
+# ---------------------------------------------------------------------------
+
+_PV_ROW_TILE = 1024  # lanes per grid step
+
+
+def _pv_kernel(n_steps: int):
+    def kernel(i0_ref, i1_ref, frac_ref, zr_ref, zi_ref, or_ref, oi_ref):
+        # seed: the first analysis frame's unit phasor (frame i0[0] == 0)
+        sr = zr_ref[pl.ds(0, 1), :]
+        si = zi_ref[pl.ds(0, 1), :]
+        s_mag = jnp.sqrt(sr * sr + si * si)
+        nonzero = s_mag > 0.0
+        safe = jnp.where(nonzero, s_mag, 1.0)
+        acc_r = jnp.where(nonzero, sr / safe, 1.0)
+        acc_i = jnp.where(nonzero, si / safe, 0.0)
+
+        def body(s, carry):
+            acc_r, acc_i = carry
+            a = i0_ref[s]
+            b = i1_ref[s]
+            f = frac_ref[s]
+            z0r = zr_ref[pl.ds(a, 1), :]
+            z0i = zi_ref[pl.ds(a, 1), :]
+            z1r = zr_ref[pl.ds(b, 1), :]
+            z1i = zi_ref[pl.ds(b, 1), :]
+            a0 = jnp.sqrt(z0r * z0r + z0i * z0i)
+            a1 = jnp.sqrt(z1r * z1r + z1i * z1i)
+
+            # emit BEFORE advancing: out[s] = mag[s] * prod_{k<s} u[k]
+            mag = (1.0 - f) * a0 + f * a1
+            or_ref[pl.ds(s, 1), :] = mag * acc_r
+            oi_ref[pl.ds(s, 1), :] = mag * acc_i
+
+            # unit rotation u[s] = z1 * conj(z0) / (|z0||z1|); zero frames
+            # contribute the identity rotation (matches ops/stretch.py)
+            wr = z1r * z0r + z1i * z0i
+            wi = z1i * z0r - z1r * z0i
+            norm = a0 * a1
+            ok = norm > 0.0
+            inv = 1.0 / jnp.where(ok, norm, 1.0)
+            ur = jnp.where(ok, wr * inv, 1.0)
+            ui = jnp.where(ok, wi * inv, 0.0)
+            return acc_r * ur - acc_i * ui, acc_r * ui + acc_i * ur
+
+        jax.lax.fori_loop(0, n_steps, body, (acc_r, acc_i))
+
+    return kernel
+
+
+def phase_vocoder_fused(
+    stft_data: jnp.ndarray,
+    i0: np.ndarray,
+    i1: np.ndarray,
+    frac: np.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused phasor-formulation phase vocoder: one pass over the spectrum.
+
+    The XLA evaluations materialize several (B, F, T) planes in HBM
+    (magnitudes, gathers, the scan planes); this kernel keeps the whole
+    per-row rotation scan in VMEM. Layout: time on sublanes, (B*F) rows
+    on lanes, so the per-step frame loads are dynamic sublane slices.
+
+    ``i0``/``i1``/``frac`` are the static step index/interpolation arrays
+    (``ops.stretch._pv_indices``). Returns ``(..., F, n_steps)`` complex.
+    """
+    *lead, F_bins, T = stft_data.shape
+    n_steps = int(i0.shape[0])
+    rows = int(np.prod(lead, dtype=np.int64)) * F_bins if lead else F_bins
+
+    # (rows, T) -> (T, rows); pad rows to the lane tile
+    zr = jnp.real(stft_data).reshape(rows, T).T
+    zi = jnp.imag(stft_data).reshape(rows, T).T
+    r_pad = -rows % _PV_ROW_TILE
+    if r_pad:
+        zr = jnp.pad(zr, ((0, 0), (0, r_pad)))
+        zi = jnp.pad(zi, ((0, 0), (0, r_pad)))
+    t_pad = -T % 8
+    if t_pad:
+        zr = jnp.pad(zr, ((0, t_pad), (0, 0)))
+        zi = jnp.pad(zi, ((0, t_pad), (0, 0)))
+    s_pad = -n_steps % 8
+    rows_p = rows + r_pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(rows_p // _PV_ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec((T + t_pad, _PV_ROW_TILE), lambda j, *_: (0, j)),
+            pl.BlockSpec((T + t_pad, _PV_ROW_TILE), lambda j, *_: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_steps + s_pad, _PV_ROW_TILE), lambda j, *_: (0, j)),
+            pl.BlockSpec((n_steps + s_pad, _PV_ROW_TILE), lambda j, *_: (0, j)),
+        ],
+    )
+    out_r, out_i = pl.pallas_call(
+        _pv_kernel(n_steps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_steps + s_pad, rows_p), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps + s_pad, rows_p), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=rows_p * n_steps * 24,
+            bytes_accessed=4 * rows_p * (2 * (T + t_pad) + 2 * n_steps),
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(i0, dtype=np.int32),
+        jnp.asarray(i1, dtype=np.int32),
+        jnp.asarray(frac, dtype=np.float32),
+        zr,
+        zi,
+    )
+    out_shape = tuple(lead) + (F_bins, n_steps)
+    return jax.lax.complex(
+        out_r[:n_steps, :rows].T.reshape(out_shape),
+        out_i[:n_steps, :rows].T.reshape(out_shape),
+    )

@@ -52,6 +52,14 @@ def phase_vocoder(
       expected per-hop advance reduced mod 2*pi by exact integer
       arithmetic — 6.3 ms core / 20.8 ms full pitch-shift leg, 2e-5 vs
       the float64 oracle at 431 steps.
+    - ``"phasor_fused"``: the phasor evaluation as one Pallas kernel —
+      the rotation scan never leaves VMEM (time on sublanes, rows on
+      lanes; ``pallas_kernels.phase_vocoder_fused``). v5e-measured
+      2.77 ms core vs angle's 5.96 (hw_pv_fused.py), 2.5e-5 rel vs the
+      angle path. NOT differentiable (``pallas_call`` has no VJP) —
+      the augmentation fast path; use ``"angle"``/``"phasor"`` under
+      ``jax.grad``. ``"phasor_fused_interpret"`` runs the same kernel
+      in interpreter mode for CPU tests.
     - ``"phasor"``: the synthesis phase only ever enters the output
       through ``exp(i*phase)``, and phase *wrapping* is invisible in the
       complex domain — ``exp(i*(phi + wrap(dphi))) ==
@@ -67,9 +75,21 @@ def phase_vocoder(
     """
     if formulation == "angle":
         return _phase_vocoder_angle(stft_data, rate, hop_length, window_length)
+    if formulation in ("phasor_fused", "phasor_fused_interpret"):
+        # single-pass Pallas evaluation of the phasor form: the rotation
+        # scan never leaves VMEM (pallas_kernels.phase_vocoder_fused)
+        from . import pallas_kernels as _pk
+
+        T = stft_data.shape[-1]
+        i0, i1, frac = _pv_indices(T, rate)
+        return _pk.phase_vocoder_fused(
+            stft_data, i0, i1, frac,
+            interpret=formulation.endswith("interpret"),
+        )
     if formulation != "phasor":
         raise ValueError(
-            f"formulation must be 'angle' or 'phasor', got {formulation!r}"
+            f"formulation must be 'angle', 'phasor', or 'phasor_fused', "
+            f"got {formulation!r}"
         )
     F_bins, T = stft_data.shape[-2], stft_data.shape[-1]
     i0, i1, frac = _pv_indices(T, rate)

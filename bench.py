@@ -96,9 +96,12 @@ def main():
         out = ds.transform(sig, **kw)
         # bf16 synthesis iDFT: no phase accumulation on the synthesis
         # side, ~3e-3 waveform perturbation (~0.026 dB) — analysis stays
-        # at 3-pass precision (ops/stretch.py docstring, hw_pv_mm.py)
+        # at 3-pass precision (ops/stretch.py docstring, hw_pv_mm.py).
+        # phasor_fused: the Pallas in-VMEM rotation scan, 2.2x the angle
+        # path's PV core at 2.5e-5 accuracy (hw_pv_fused.py RESULT).
         audio = S.pitch_shift(
-            out.audio_data, 2.0, SAMPLE_RATE, synthesis_method="matmul_bf16"
+            out.audio_data, 2.0, SAMPLE_RATE, synthesis_method="matmul_bf16",
+            pv_formulation="phasor_fused",
         )
         # MXU DFT-matmul mel: hardware-validated at ~1e-5 rel accuracy,
         # ~1.5x faster than the VPU FFT path

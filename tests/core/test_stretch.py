@@ -27,14 +27,19 @@ def _random_spec(rng, B, F_b, T):
     return re, im
 
 
+@pytest.mark.parametrize(
+    "formulation", ["phasor", "phasor_fused_interpret"]
+)
 @pytest.mark.parametrize("rate", [2.0 ** (-2.0 / 12.0), 1.31, 0.77])
-def test_phasor_matches_angle_formulation(rate):
+def test_phasor_matches_angle_formulation(rate, formulation):
     rng = np.random.RandomState(0)
     re, im = _random_spec(rng, 2, 129, 61)
     spec = jnp.asarray(re) + 1j * jnp.asarray(im)
 
     hop, win = 64, 256
-    got = np.asarray(S.phase_vocoder(spec, rate, hop, win, formulation="phasor"))
+    got = np.asarray(
+        S.phase_vocoder(spec, rate, hop, win, formulation=formulation)
+    )
     want = np.asarray(S.phase_vocoder(spec, rate, hop, win, formulation="angle"))
     scale = np.abs(want).max()
     # the difference is the ANGLE path's own f32 cumsum random walk
@@ -75,7 +80,9 @@ def test_unknown_formulation_raises():
         S.phase_vocoder(spec, 1.5, 16, 64, formulation="anlge")
 
 
-@pytest.mark.parametrize("formulation", ["angle", "phasor"])
+@pytest.mark.parametrize(
+    "formulation", ["angle", "phasor", "phasor_fused_interpret"]
+)
 def test_silent_bins_stay_silent_and_finite(formulation):
     # a bin that is exactly zero everywhere must come out zero (mag 0) and
     # not poison neighbouring steps (phasor: the normalization guard;

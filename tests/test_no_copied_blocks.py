@@ -55,24 +55,11 @@ COUNTERPARTS = {
 
 MAX_IDENTICAL_RUN = 7  # a shared run of >= 8 stripped lines fails
 
-# Ratchet: files still above the strict threshold carry their current
-# measured max identical run (2026-08-19). Each rewrite pass must only
-# shrink these numbers; delete an entry once the file passes strict.
-# (Much of this is API-parity-pinned structure — constructor signatures,
-# dist-tuple defaults — but the ratchet keeps it shrinking, not growing.)
-RUN_CEILING = {
-    "core/util.py": 24,
-    "core/ffmpeg.py": 18,
-    "core/_dsp.py": 40,
-    "core/_effects.py": 8,
-    "core/loudness.py": 8,
-    "core/signal.py": 39,
-    "data/datasets.py": 18,
-    "metrics/spectral.py": 18,
-    "metrics/quality.py": 22,
-    "ml/layers/base.py": 12,
-    "ml/layers/spectral_gate.py": 14,
-}
+# Ratchet: a file still above the strict threshold would carry its
+# current measured max run here, to shrink monotonically. Empty as of
+# 2026-08-19 — every counterpart pair passes the strict 7-line bar after
+# the round-4 restructuring pass.
+RUN_CEILING = {}
 
 
 def _code_lines(source: str):
