@@ -93,7 +93,10 @@ class BandSpectrogramDiscriminator(nn.Module):
     window_length: int
     channels: int = 32
     bands: Tuple[Tuple[float, float], ...] = BAND_SPLITS
-    stft_method: str = "fft"
+    # MXU DFT-matmul analysis by default (~1e-5 vs fft, and its backward
+    # is matmul transposes: MRD fwd+bwd 17.7 -> 16.7 ms on v5e,
+    # tests/hw/hw_mrd_probe.py); pass "fft" for the bit-matched path.
+    stft_method: str = "matmul"
     weight_norm: bool = True
     dtype: Any = None
 
@@ -151,7 +154,7 @@ class Discriminator(nn.Module):
     mpd_channels: Sequence[int] = (32, 128, 512, 1024)
     mrd_channels: int = 32
     bands: Tuple[Tuple[float, float], ...] = BAND_SPLITS
-    stft_method: str = "fft"
+    stft_method: str = "matmul"  # see BandSpectrogramDiscriminator
     weight_norm: bool = True
     dtype: Any = None
 

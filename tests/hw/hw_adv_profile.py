@@ -139,7 +139,7 @@ t = device_time_queued(
 )
 print(f"D paired fwd+bwd    : {t*1e3:7.2f} ms", flush=True)
 
-# full adversarial step with the paired calls wired in
+# full adversarial step as currently implemented in models/adversarial.py
 from audiotools_tpu.models.adversarial import make_adversarial_train_step
 
 d_opt = optax.adamw(1e-4)
@@ -149,4 +149,4 @@ t = device_time_queued(
     adv_step, g_params, d_params, g_state, d_state, audio,
     iters=5, sync=lambda o: o[4]["loss"],
 )
-print(f"adv step (paired)   : {t*1e3:7.2f} ms = {B/t:.1f} clips/s", flush=True)
+print(f"adv step (current)  : {t*1e3:7.2f} ms = {B/t:.1f} clips/s", flush=True)

@@ -10,7 +10,16 @@ the backward becomes matmul transposes.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 1150 python tests/hw/hw_mpd_matmul.py
 
-RESULT: recorded below after each hardware run.
+RESULT (v5e via axon tunnel, 2026-08-19): NEGATIVE, and it relocates
+the bound —
+    MPD conv (weight-norm) fwd+bwd, all 5 periods:  6.13 ms
+    MPD conv (no weight-norm)                    :  7.91 ms
+    MPD framed-matmul                            : 13.97 ms  (2.3x worse)
+The MPD is NOT where the D-update's ~46 ms lives (the resunit matmul
+trick does not transfer: these stride-3 convs already lower well, and
+weight-norm even helps by shrinking the wgrad into the normalized
+basis). By elimination the cost is the MRD band-split stacks — see
+hw_mrd_probe.py.
 """
 from pathlib import Path
 
