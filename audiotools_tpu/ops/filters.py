@@ -11,9 +11,10 @@ TPU-first design notes
   windowed-sinc kernels *inside* the program from traced cutoff values over
   a static support (``lowpass_kernel``) — no Python loop over the batch
   (the reference loops per item: /root/reference/audiotools/core/dsp.py:177-179).
-* Exact IIR biquads are evaluated with an associative scan (O(log T) depth)
-  rather than a sequential time loop, so the "exact" loudness path is also
-  TPU-fast.
+* Exact IIR biquads are evaluated without a per-sample time loop: the
+  general ``biquad`` uses an associative scan (O(log T) depth), and the
+  loudness cascade uses ``iir_cascade_blocked`` — block state-space
+  lifting (per-block Toeplitz matmuls on the MXU + a block-state scan).
 
 Numerical semantics mirror ``julius`` (pure-torch) filters used by the
 reference: ``julius.LowPassFilter/HighPassFilter`` (dsp.py:178,210),
@@ -38,6 +39,7 @@ __all__ = [
     "equalizer",
     "biquad",
     "biquad_cascade",
+    "iir_cascade_blocked",
     "fir_from_biquad",
     "preemphasis",
 ]
@@ -470,6 +472,144 @@ def biquad_cascade(x: jnp.ndarray, coeffs: list) -> jnp.ndarray:
     for b, a, gain in coeffs:
         x = gain * biquad(x, b, a)
     return x
+
+
+@functools.lru_cache(maxsize=None)
+def _blocked_iir_operators(stages_key: tuple, block: int):
+    """Block-lifted state-space operators of an IIR biquad cascade
+    (host-side float64 design, cast to float32).
+
+    With per-sample recurrence ``s[n] = A s[n-1] + B x[n]``,
+    ``y[n] = C s[n-1] + D x[n]`` (the DF2T convention of ``biquad``),
+    a block of L samples evaluates as
+
+        y_blk = Phi_x @ x_blk + Phi_s @ s_pre
+        s_end = A^L s_pre + Psi_x @ x_blk
+
+    where ``Phi_x[i, j] = h[i-j]`` (lower-triangular Toeplitz of Markov
+    parameters, ``h[0] = D``, ``h[m] = C A^{m-1} B``),
+    ``Phi_s[i] = C A^i`` and ``Psi_x[:, j] = A^{L-1-j} B``.
+    """
+    A = np.zeros((0, 0))
+    Bv = np.zeros((0,))
+    Cv = np.zeros((0,))
+    Dg = 1.0
+    for b, a, gain in stages_key:
+        b = np.asarray(b, dtype=np.float64)
+        a = np.asarray(a, dtype=np.float64)
+        b = b / a[0] * gain
+        a = a / a[0]
+        A_i = np.array([[-a[1], 1.0], [-a[2], 0.0]])
+        B_i = np.array([b[1] - a[1] * b[0], b[2] - a[2] * b[0]])
+        C_i = np.array([1.0, 0.0])
+        D_i = b[0]
+        # cascade composition: x -> (A,B,C,D) -> (A_i,B_i,C_i,D_i)
+        n = A.shape[0]
+        A = np.block([
+            [A, np.zeros((n, 2))],
+            [np.outer(B_i, Cv), A_i],
+        ]) if n else A_i
+        Bv = np.concatenate([Bv, B_i * Dg]) if n else B_i
+        Cv = np.concatenate([D_i * Cv, C_i]) if n else C_i
+        Dg = D_i * Dg
+
+    ns = A.shape[0]
+
+    # Diagonally balance the realization: equalize each state's input
+    # energy (controllability gramian P) against its output sensitivity
+    # (observability gramian Q) with t_i = (P_ii / Q_ii)^(1/4), so f32
+    # state ulps stop leaking into y through oversized states.
+    from scipy.linalg import solve_discrete_lyapunov
+
+    P = solve_discrete_lyapunov(A, np.outer(Bv, Bv))
+    Q = solve_discrete_lyapunov(A.T, np.outer(Cv, Cv))
+    scale = (
+        np.maximum(np.diag(P), 1e-20) / np.maximum(np.diag(Q), 1e-20)
+    ) ** 0.25
+    A = A * (scale[None, :] / scale[:, None])
+    Bv = Bv / scale
+    Cv = Cv * scale
+
+    powers = [np.eye(ns)]
+    for _ in range(block):
+        powers.append(A @ powers[-1])
+
+    markov = np.zeros(block)
+    markov[0] = Dg
+    for m in range(1, block):
+        markov[m] = Cv @ powers[m - 1] @ Bv
+    idx = np.arange(block)
+    diff = idx[:, None] - idx[None, :]
+    phi_x = np.where(diff >= 0, markov[np.clip(diff, 0, block - 1)], 0.0)
+
+    phi_s = np.stack([Cv @ powers[i] for i in range(block)])  # (L, ns)
+    psi_x = np.stack(
+        [powers[block - 1 - j] @ Bv for j in range(block)], axis=1
+    )  # (ns, L)
+    return (
+        phi_x.astype(np.float32),
+        phi_s.astype(np.float32),
+        psi_x.astype(np.float32),
+        powers[block].astype(np.float32),
+    )
+
+
+def iir_cascade_blocked(
+    x: jnp.ndarray, stages, block: int = 512
+) -> jnp.ndarray:
+    """Exact IIR biquad-cascade filtering over the last axis via block
+    state-space lifting: one (L, L) lower-triangular Toeplitz matmul per
+    L-sample block (MXU) plus an associative scan over the tiny per-block
+    state maps — the TPU-idiomatic exact evaluation of sequential
+    ``lfilter`` (reference loudness.py:102-126). Accuracy vs the float64
+    sequential filter: ~1e-5 abs at 5 s x 44.1 kHz (K-weighting cascade,
+    block=512; diagonally balanced realization + sequential block scan —
+    see the in-code notes). Speed measured in tests/hw/hw_iir_blocked.py.
+
+    ``stages``: iterable of ``(b, a, gain)`` with length-3 coefficient
+    arrays (the ``design_filters`` layout).
+    """
+    stages_key = tuple(
+        (tuple(float(v) for v in b), tuple(float(v) for v in a), float(g))
+        for b, a, g in stages
+    )
+    phi_x, phi_s, psi_x, A_L = (
+        jnp.asarray(m) for m in _blocked_iir_operators(stages_key, block)
+    )
+    ns = A_L.shape[0]
+
+    T = x.shape[-1]
+    batch_shape = x.shape[:-1]
+    pad = -T % block
+    xf = jnp.pad(x.reshape((-1, T)), ((0, 0), (0, pad)))
+    xb = xf.reshape(xf.shape[0], -1, block)  # (B, nblk, L)
+    n_blk = xb.shape[1]
+
+    # in-block contributions: one MXU matmul per block, batched
+    part = jnp.einsum(
+        "il,bkl->bki", phi_x, xb, precision=jax.lax.Precision.HIGHEST
+    )
+    # block input-to-state maps
+    u = jnp.einsum(
+        "sl,bkl->bks", psi_x, xb, precision=jax.lax.Precision.HIGHEST
+    )
+
+    # States at each block start: a SEQUENTIAL scan over blocks. The
+    # tree (associative) scan forms explicit f32 products of A^L — whose
+    # entries reach ~70 for the near-DC K-weighting pole — and amplifies
+    # rounding ~20x (measured 9e-4 vs 4e-5 abs at 48k x 1 s); at one
+    # step per 128 samples the sequential dependency is cheap.
+    def step(s, u_k):
+        return jnp.einsum("ij,bj->bi", A_L, s) + u_k, s
+
+    s0 = jnp.zeros((xb.shape[0], ns), dtype=xb.dtype)
+    _, s_pre = jax.lax.scan(step, s0, jnp.swapaxes(u, 0, 1))
+    s_pre = jnp.swapaxes(s_pre, 0, 1)  # (B, nblk, ns), state BEFORE block
+
+    y = part + jnp.einsum(
+        "is,bks->bki", phi_s, s_pre, precision=jax.lax.Precision.HIGHEST
+    )
+    return y.reshape(xf.shape[0], -1)[:, :T].reshape(batch_shape + (T,))
 
 
 def fir_from_biquad(b: np.ndarray, a: np.ndarray, n_taps: int) -> np.ndarray:

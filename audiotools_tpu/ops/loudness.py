@@ -3,8 +3,9 @@
 Mirrors the reference's tensorized pyloudnorm meter
 (`/root/reference/audiotools/core/loudness.py`), with both of its paths:
 
-* exact IIR biquad cascade — here evaluated with an associative scan
-  (O(log T) depth, TPU-fast) instead of a CPU ``lfilter`` (loudness.py:102-126);
+* exact IIR biquad cascade — here evaluated by block state-space
+  lifting (``filters.iir_cascade_blocked``: MXU Toeplitz matmuls + a
+  block-state scan) instead of a CPU ``lfilter`` (loudness.py:102-126);
 * 512-tap truncated-FIR approximation via FFT convolution
   (loudness.py:54-100) — on TPU both stages fuse into a single causal FFT
   conv with the composed kernel.
@@ -29,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .filters import causal_fft_conv1d, fir_from_biquad
+from .filters import causal_fft_conv1d, fir_from_biquad, iir_cascade_blocked
 
 __all__ = [
     "design_filters",
@@ -60,11 +61,14 @@ def set_fast_meter(enable: bool = True, zeros: int = 512):
     truncated FIR, reference loudness.py:54-100) and its accuracy
     envelope: ~7e-5 dB on broadband programme material, but up to
     0.63 dB on a pure 25 Hz sine (the high-pass stage's truncated tail —
-    see tests/core/test_loudness_compliance.py). v5e batch-64 x 5 s
-    meter: 2.6 ms at 512 taps, ~5.5 ms at 2048. Pass ``zeros=2048`` for
-    compliance-grade accuracy on narrowband low-frequency content, or
-    use the default exact meter (``enable=False``), which is compliant
-    everywhere.
+    see tests/core/test_loudness_compliance.py).
+
+    Since the exact cascade moved to block state-space lifting
+    (``filters.iir_cascade_blocked``), the FIR mode is a PARITY mode,
+    not a fast path: v5e batch-64 x 5 s meter e2e is 1.44 ms exact vs
+    2.86 ms at 512 taps (tests/hw/hw_iir_blocked.py). Keep the default
+    ``enable=False`` unless bit-level agreement with the reference GPU
+    meter is the goal.
     """
     global _METER_DEFAULTS
     if enable:
@@ -234,11 +238,22 @@ def apply_k_weighting(
     ``"fft_os"`` = pow2 overlap-save blocks; ``"pallas"`` = blocked
     Toeplitz matmul on the MXU (hardware-measured 2.3x faster than fft for
     the 1023-tap FIR at 5e-7 rel accuracy, but ~2 min first compile).
+
+    The exact path (``use_fir=False``) evaluates the cascade by block
+    state-space lifting (``filters.iir_cascade_blocked``): per-block
+    Toeplitz matmuls + a tiny block-state scan — v5e-measured ~10x the
+    composed-impulse-response FFT conv it replaces, ~1.5e-4 signal-level
+    error vs the float64 sequential filter at 5 s (pure f32 state
+    propagation at the near-DC pole; ~2e-8 dB on gated energies).
+    The former composed-impulse-response evaluation survives as
+    ``_exact_fir``/``causal_fft_conv1d`` for oracle tests and for the
+    sequence-parallel meter (``parallel/timeshard.py``), where a
+    halo-exchanged FIR is the right sharded formulation.
     """
-    if use_fir:
-        kernel = _composed_fir(rate, filter_class, zeros)
-    else:
-        kernel = _exact_fir(rate, filter_class)
+    if not use_fir:
+        stages = [(b, a, g) for (b, a), g in design_filters(rate, filter_class)]
+        return iir_cascade_blocked(audio, stages)
+    kernel = _composed_fir(rate, filter_class, zeros)
     if conv_method in ("pallas", "pallas_interpret"):
         from .pallas_kernels import MAX_TAPS, fir_conv_causal
 

@@ -211,3 +211,45 @@ def test_low_pass_concrete_cutoff_tightens_support():
     # 5e-6: same filter evaluated over different static supports; exact
     # bits shift with XLA reassociation (e.g. backend optimization level)
     assert np.abs(np.asarray(wide - tight)).max() < 5e-6
+
+
+def test_iir_cascade_blocked_matches_sequential_f64():
+    """Block state-space lifting == the sequential float64 ``lfilter``
+    cascade on the BS.1770 K-weighting stages (the exact-meter path,
+    reference loudness.py:102-126). Covers a T not divisible by the block
+    (pad/crop) and a (B, C, T) batch shape."""
+    from audiotools_tpu.ops.loudness import design_filters
+
+    sr = 44100
+    stages = [(b, a, g) for (b, a), g in design_filters(sr, "K-weighting")]
+    rng = np.random.RandomState(8)
+    x = rng.randn(2, 2, 10000).astype(np.float32)
+
+    ref = x.astype(np.float64)
+    for b, a, g in stages:
+        ref = g * lfilter(b, a, ref, axis=-1)
+
+    for blk in (128, 512, 1024):
+        y = np.asarray(FL.iir_cascade_blocked(jnp.asarray(x), stages, block=blk))
+        assert y.shape == x.shape
+        # f32 state drift at the near-DC high-pass pole grows with T
+        # (~2e-4 abs here at 10 k samples, ~2e-8 dB on gated energies)
+        assert np.abs(y - ref).max() < 5e-4, blk
+
+
+def test_iir_cascade_blocked_matches_biquad_cascade():
+    """Blocked lifting agrees with the associative-scan ``biquad_cascade``
+    on a generic (non-loudness) stage list, under jit."""
+    stages = [
+        (np.array([0.2, 0.3, 0.1]), np.array([1.0, -0.5, 0.25]), 1.3),
+        (np.array([1.0, -1.2, 0.4]), np.array([1.0, -0.3, 0.02]), 0.7),
+    ]
+    rng = np.random.RandomState(9)
+    x = rng.randn(3, 700).astype(np.float32)
+    y0 = np.asarray(FL.biquad_cascade(jnp.asarray(x), stages))
+    y1 = np.asarray(
+        jax.jit(lambda a: FL.iir_cascade_blocked(a, stages, block=256))(
+            jnp.asarray(x)
+        )
+    )
+    assert np.abs(y0 - y1).max() < 2e-4
