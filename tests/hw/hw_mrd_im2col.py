@@ -16,7 +16,18 @@ slice-add transpose for dx.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 1150 python tests/hw/hw_mrd_im2col.py
 
-RESULT (v5e via axon tunnel): see bottom of file after first run.
+RESULT (v5e via axon tunnel, 2026-08-19): CATASTROPHIC NEGATIVE —
+    w2048: conv fwd+bwd  6.38 ms | im2col 394.16 ms
+    w1024: conv fwd+bwd  5.21 ms | im2col 652.00 ms
+    w512 : conv fwd+bwd  5.84 ms | im2col 862.75 ms   (~110x worse)
+im2col's forward matches the conv bit-for-bit (0.0 max err), but its
+backward is the transpose of 27 strided slices = 27 interior-dilated
+pad-and-accumulate ops per conv per band, and XLA-TPU lowers each one
+as its own full-tensor pass (cost scales with frame count: w512 is the
+worst). The resunit matmul trick does NOT transfer to these 2-D
+stride-(1,2) stacks. Do not retry tensor-level im2col here; the
+follow-up (hw_mrd_wgrad.py) instead splits the dgrad/wgrad cost and
+replaces only the weight gradient.
 """
 from pathlib import Path
 
