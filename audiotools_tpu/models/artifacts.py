@@ -19,12 +19,23 @@ from ..core import AudioSignal
 __all__ = ["compress", "decompress", "save_artifact", "load_artifact"]
 
 
-def compress(model, params, signal, n_quantizers: int = None) -> dict:
+def compress(
+    model,
+    params,
+    signal,
+    n_quantizers: int = None,
+    streaming: bool = False,
+    chunk_frames: int = 128,
+) -> dict:
     """Encode an :class:`AudioSignal` (or ``(B, 1, T)`` array) into a
     compact artifact dict: uint16 codes + the metadata needed to invert.
 
     The signal is resampled to the model's rate if needed. Codes are
     ``(B, n_q, T_codes)`` with ``T_codes = ceil(T / hop_length)``.
+
+    ``streaming=True`` encodes through fixed-shape overlap-save windows
+    (``models/streaming.py``): identical codes, O(``chunk_frames``)
+    device memory — use for inputs too long to encode in one program.
     """
     if isinstance(signal, AudioSignal):
         sig = signal.clone()
@@ -42,13 +53,23 @@ def compress(model, params, signal, n_quantizers: int = None) -> dict:
             "uint16 artifact format"
         )
     n_samples = int(audio.shape[-1])
-    # DAC.encode runs encoder + quantizer only (no decoder), and the
-    # apply is jitted: one compiled program instead of hundreds of eager
-    # dispatches (each of which is seconds over a tunneled transport).
-    encode = jax.jit(
-        lambda p, a: model.apply(p, a, n_quantizers, method=type(model).encode)
-    )
-    _, codes = encode(params, audio)
+    if streaming:
+        from .streaming import stream_encode
+
+        codes = stream_encode(
+            model, params, np.asarray(audio),
+            chunk_frames=chunk_frames, n_quantizers=n_quantizers,
+        )
+    else:
+        # DAC.encode runs encoder + quantizer only (no decoder), and the
+        # apply is jitted: one compiled program instead of hundreds of
+        # eager dispatches (each of which is seconds over a tunnel).
+        encode = jax.jit(
+            lambda p, a: model.apply(
+                p, a, n_quantizers, method=type(model).encode
+            )
+        )
+        _, codes = encode(params, audio)
     return {
         "codes": np.asarray(codes).astype(np.uint16),
         "sample_rate": int(model.sample_rate),
@@ -58,9 +79,16 @@ def compress(model, params, signal, n_quantizers: int = None) -> dict:
     }
 
 
-def decompress(model, params, artifact: dict) -> AudioSignal:
+def decompress(
+    model,
+    params,
+    artifact: dict,
+    streaming: bool = False,
+    chunk_frames: int = 128,
+) -> AudioSignal:
     """Invert :func:`compress`: artifact codes -> :class:`AudioSignal`
-    trimmed to the original sample count."""
+    trimmed to the original sample count. ``streaming=True`` decodes
+    through fixed-shape windows (identical audio, bounded memory)."""
     if int(model.sample_rate) != int(artifact["sample_rate"]):
         raise ValueError(
             f"artifact was produced at {artifact['sample_rate']} Hz, "
@@ -82,11 +110,18 @@ def decompress(model, params, artifact: dict) -> AudioSignal:
             f"artifact has {n_q} codebook stages, model has only "
             f"{model.n_codebooks}"
         )
-    codes = jnp.asarray(np.asarray(artifact["codes"]).astype(np.int32))
-    decode = jax.jit(
-        lambda p, c: model.apply(p, c, method=type(model).decode_from_codes)
-    )
-    wav = decode(params, codes)
+    codes_np = np.asarray(artifact["codes"]).astype(np.int32)
+    if streaming:
+        from .streaming import stream_decode
+
+        wav = stream_decode(model, params, codes_np, chunk_frames=chunk_frames)
+    else:
+        decode = jax.jit(
+            lambda p, c: model.apply(
+                p, c, method=type(model).decode_from_codes
+            )
+        )
+        wav = decode(params, jnp.asarray(codes_np))
     wav = wav[..., : int(artifact["n_samples"])]
     return AudioSignal(wav, int(artifact["sample_rate"]))
 

@@ -55,6 +55,8 @@ MODULES = [
     "audiotools_tpu.models.discriminators",
     "audiotools_tpu.models.adversarial",
     "audiotools_tpu.models.train",
+    "audiotools_tpu.models.artifacts",
+    "audiotools_tpu.models.streaming",
     "audiotools_tpu.parallel.mesh",
     "audiotools_tpu.parallel.timeshard",
     "audiotools_tpu.post",

@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--model", default=None, help="BaseModel.save_to_folder dir")
     ap.add_argument("--toy", action="store_true", help="random tiny model")
     ap.add_argument("--n-quantizers", type=int, default=None)
+    ap.add_argument(
+        "--streaming", action="store_true",
+        help="encode/decode through fixed-shape overlap-save windows "
+        "(identical output, bounded memory; for very long inputs)",
+    )
     args = ap.parse_args()
 
     from audiotools_tpu import AudioSignal
@@ -67,7 +72,10 @@ def main():
 
     if args.mode == "compress":
         signal = AudioSignal(args.src)
-        art = compress(model, params, signal, n_quantizers=args.n_quantizers)
+        art = compress(
+            model, params, signal,
+            n_quantizers=args.n_quantizers, streaming=args.streaming,
+        )
         save_artifact(args.dst, art)
         raw = signal.signal_length * signal.num_channels * 2  # 16-bit PCM
         packed = art["codes"].size * 2
@@ -77,7 +85,7 @@ def main():
         )
     else:
         art = load_artifact(args.src)
-        recon = decompress(model, params, art)
+        recon = decompress(model, params, art, streaming=args.streaming)
         recon.write(args.dst)
         print(
             f"{args.src} -> {args.dst}: {recon.signal_duration:.2f} s @ "
