@@ -6,7 +6,17 @@ full 44.1 kHz DAC size and derives the streaming throughput
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 1150 python tests/hw/hw_streaming.py
 
-RESULT (v5e via axon tunnel): see bottom after first run.
+RESULT (v5e via axon tunnel, 2026-08-19, full 44.1 kHz DAC,
+halos enc 12 / dec 14 frames @ hop 512):
+    B1 chunk  64: enc  2.72 ms (273x rt) | dec  3.31 ms (225x rt)
+    B1 chunk 128: enc  3.40 ms (436x rt) | dec  7.52 ms (198x rt)
+    B4 chunk  64: enc 10.30 ms (288x rt) | dec 13.47 ms (221x rt)
+    B4 chunk 128: enc 17.16 ms (346x rt) | dec 25.54 ms (233x rt)
+A single-stream encode+decode roundtrip sustains ~120x realtime at
+chunk 64 (0.74 s of audio per chunk + ~0.14/0.16 s halo lookahead);
+throughput scales near-linearly in batch. Device compute is far from
+the serving bound — at these rates one v5e chip transcodes ~100
+concurrent realtime streams per direction.
 """
 from pathlib import Path
 
