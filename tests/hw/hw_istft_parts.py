@@ -5,6 +5,22 @@ istft(matmul) = 7.8 ms but the iDFT matmul alone should be ~2.3 ms —
 if the OLA's grouped slice-adds dominate, they're the next kernel target.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 590 python tests/hw/hw_istft_parts.py
+
+RESULT (v5e, 2026-08-19):
+    iDFT matmul x2: 5.64 ms   <- dominates; 260 GFLOP at HIGHEST
+                                 precision = ~46 TF/s, essentially the
+                                 f32-matmul ceiling (the accuracy-safe
+                                 bf16 route already exists as
+                                 synthesis_method="matmul_bf16" and the
+                                 bench chain uses it)
+    overlap_add   : 2.61 ms
+    env division  : 0.13 ms
+    ola pad-sum   : 4.08 ms   NEGATIVE (r-shifted pad-and-sum streams
+                               are 1.6x the grouped slice-add OLA; XLA's
+                               existing lowering wins)
+istft is at its measured floor: the matmul is roofline-bound and the
+OLA alternative lost. No remaining istft lever short of fusing
+iDFT+OLA in one Pallas kernel (bounded by the same matmul roofline).
 """
 import numpy as np
 

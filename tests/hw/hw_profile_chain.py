@@ -24,10 +24,9 @@ from audiotools_tpu.ops.benchmark import device_time
 
 DURATION, SR, B = 5.0, 44100, 64
 
-# bench configuration: the 512-tap Pallas fast meter (bench.py:59) — the
-# exact-IIR meter would otherwise dominate every loudness-crossing stage
-# and misattribute the chain profile
-L.set_fast_meter(True)
+# bench configuration: since r4 the production default is the exact
+# blocked-IIR meter (filters.iir_cascade_blocked), which is also the
+# fastest path — profile what the headline runs
 
 print("platform:", jax.devices()[0].platform, flush=True)
 
@@ -60,7 +59,7 @@ def with_audio(base, a):
 
 # stage timings
 print(f"transform-compose: {t_of(lambda a: ds.transform(with_audio(sig, a), **kw).audio_data, x):.2f} ms", flush=True)
-print(f"pitch_shift: {t_of(lambda a: S.pitch_shift(a, 2.0, SR), x):.2f} ms", flush=True)
+print(f"pitch_shift (fused, bench cfg): {t_of(lambda a: S.pitch_shift(a, 2.0, SR, pv_formulation='phasor_fused'), x):.2f} ms", flush=True)
 print(f"mel matmul: {t_of(lambda a: F.mel_spectrogram(a, SR, 80, method='matmul'), x):.2f} ms", flush=True)
 print(f"loudness: {t_of(lambda a: L.loudness(a, SR), x):.2f} ms", flush=True)
 
