@@ -181,3 +181,24 @@ def test_artifact_streaming_parity(model, params, audio):
     np.testing.assert_allclose(
         np.asarray(rec_s.audio_data), np.asarray(rec.audio_data), atol=2e-6
     )
+
+
+def test_stream_decode_short_stream(model, params, full_codes):
+    """Code stream shorter than one window decodes via the single full
+    call (the degenerate fixed-shape case)."""
+    short = full_codes[:, :, :10]
+    ref = np.asarray(
+        model.apply(params, jnp.asarray(short), method=DAC.decode_from_codes)
+    )
+    got = stream_decode(model, params, short, chunk_frames=16)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_stream_bad_shapes_raise(model, params):
+    with pytest.raises(ValueError):
+        stream_encode(model, params, np.zeros((1, 100), np.float32))
+    with pytest.raises(ValueError):
+        stream_decode(model, params, np.zeros((4, 10), np.int32))
+    enc = StreamingEncoder(model, params, batch_size=1, chunk_frames=8)
+    with pytest.raises(ValueError):
+        list(enc.push(np.zeros((2, 1, 10), np.float32)))
