@@ -24,8 +24,10 @@ class Meter:
     zeros : int, optional
         Taps in the truncated-FIR approximation, by default 512.
     use_fir : bool, optional
-        Use the 512-tap FIR approximation instead of the float32-exact
-        composed response, by default False.
+        Use the 512-tap FIR approximation (bit-level parity with the
+        reference's GPU meter) instead of the exact cascade via block
+        state-space lifting (``ops.filters.iir_cascade_blocked`` — also
+        the faster path on TPU), by default False.
     """
 
     def __init__(

@@ -202,3 +202,27 @@ def test_stream_bad_shapes_raise(model, params):
     enc = StreamingEncoder(model, params, batch_size=1, chunk_frames=8)
     with pytest.raises(ValueError):
         list(enc.push(np.zeros((2, 1, 10), np.float32)))
+
+
+@pytest.mark.parametrize(
+    "rates", [(2, 2), (8, 2), (4, 4, 2)], ids=lambda r: "x".join(map(str, r))
+)
+def test_halo_covers_arbitrary_architectures(rates):
+    """The analytic halo formulas must cover the receptive field for any
+    encoder_rates configuration — bit-parity is the proof."""
+    m = DAC(
+        encoder_dim=8, encoder_rates=rates, latent_dim=8, decoder_dim=32,
+        n_codebooks=1, codebook_size=16, codebook_dim=4, sample_rate=16000,
+    )
+    p = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 16 * m.hop_length)))
+    rng = np.random.RandomState(11)
+    x = (rng.randn(1, 1, 61 * m.hop_length + 7) * 0.3).astype(np.float32)
+    _, ref = m.apply(p, jnp.asarray(x), method=DAC.encode)
+    ref = np.asarray(ref)
+    got = stream_encode(m, p, x, chunk_frames=8)
+    assert (got == ref).all()
+    dec_ref = np.asarray(
+        m.apply(p, jnp.asarray(ref), method=DAC.decode_from_codes)
+    )
+    dec_got = stream_decode(m, p, ref, chunk_frames=8)
+    np.testing.assert_allclose(dec_got, dec_ref, atol=2e-6)
