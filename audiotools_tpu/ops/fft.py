@@ -392,6 +392,44 @@ def istft(
         nt = nt + 4
 
     window_np = get_window(window_type, window_length)
+    out_len = window_length + hop_length * (nt - 1)
+
+    # window-square normalization envelope is static — precompute on host
+    norm = np.zeros(out_len, dtype=np.float32)
+    wsq = (window_np * window_np).astype(np.float32)
+    for i in range(nt):
+        norm[i * hop_length : i * hop_length + window_length] += wsq
+    inv_env = np.where(norm > 1e-11, 1.0 / np.maximum(norm, 1e-11), 1.0)
+
+    if method in ("matmul_bf16_fused", "matmul_bf16_fused_interpret"):
+        # One Pallas pass: iDFT matmul + overlap-add + envelope divide
+        # (matmul_bf16 numerics). Hardware-measured SPEED-NEUTRAL with
+        # matmul_bf16 (XLA fuses the same pipeline, hw_istft_fused.py);
+        # its value is peak HBM — the (B, nt, n_fft) frame tensor is
+        # never materialized, which matters for long-signal synthesis.
+        # Pallas compiles only on TPU — elsewhere fall back to the
+        # numerically-matching matmul_bf16 path; "…_interpret" runs the
+        # kernel interpreted so CI covers the numeric path off-TPU.
+        interpret = method.endswith("_interpret")
+        if (
+            window_length % hop_length == 0
+            and window_length // hop_length <= 8
+            and (interpret or jax.default_backend() != "cpu")
+        ):
+            from . import pallas_kernels as PK
+
+            Ci, Si = _idft_matrices_device(window_type, window_length)
+            S = jnp.swapaxes(spec, -1, -2)  # (B, nt, n_freq)
+            y = PK.istft_synthesis_fused(
+                jnp.real(S), jnp.imag(S), Ci, Si, hop_length, inv_env,
+                interpret=interpret,
+            )
+            return _istft_trim(
+                y, window_length, length, match_stride, pad, right_pad,
+                batch_shape,
+            )
+        method = "matmul_bf16"
+
     if method in ("matmul", "matmul_bf16"):
         # MXU inverse DFT fused with the synthesis window (counterpart of
         # stft(method="matmul"/"matmul_bf16"))
@@ -416,17 +454,18 @@ def istft(
     else:
         raise ValueError(f"Unknown istft method: {method!r}")
 
-    out_len = window_length + hop_length * (nt - 1)
     y = _overlap_add(frames, hop_length, out_len)
+    y = y * jnp.asarray(inv_env)
+    return _istft_trim(
+        y, window_length, length, match_stride, pad, right_pad, batch_shape
+    )
 
-    # window-square normalization envelope is static — precompute on host
-    norm = np.zeros(out_len, dtype=np.float32)
-    wsq = (window_np * window_np).astype(np.float32)
-    for i in range(nt):
-        norm[i * hop_length : i * hop_length + window_length] += wsq
-    y = y / jnp.asarray(np.where(norm > 1e-11, norm, 1.0))
 
-    # remove the center padding, cut to length
+def _istft_trim(
+    y, window_length, length, match_stride, pad, right_pad, batch_shape
+):
+    """Shared istft tail: drop center padding, cut to ``length``, undo the
+    match-stride padding, restore the batch shape."""
     cpad = window_length // 2
     y = y[:, cpad:]
     if y.shape[1] < length:

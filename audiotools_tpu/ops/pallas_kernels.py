@@ -30,7 +30,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fir_conv_causal", "fir_conv_causal_batch"]
+__all__ = [
+    "fir_conv_causal",
+    "fir_conv_causal_batch",
+    "istft_synthesis_fused",
+]
 
 BLK = 128        # output tile width (lane dim)
 ROWS = 64        # output rows per grid step (sublane dim of the matmul)
@@ -363,3 +367,141 @@ def phase_vocoder_fused(
         out_r[:n_steps, :rows].T.reshape(out_shape),
         out_i[:n_steps, :rows].T.reshape(out_shape),
     )
+
+
+# ---------------------------------------------------------------------------
+# fused istft synthesis: inverse-DFT matmul + overlap-add + envelope divide
+# ---------------------------------------------------------------------------
+
+_SYN_TM = 64  # output hop-rows per grid step (sublane dim of the matmuls)
+
+
+def _syn_kernel(r, TM, H):
+    def kernel(cur_ref, prev_ref, w_ref, env_ref, out_ref):
+        g = pl.program_id(1)
+        m0 = g * TM
+        acc = jnp.zeros((TM, H), jnp.float32)
+        for j in range(r):
+            if j == 0:
+                rows = cur_ref[0]
+            else:
+                rows = jnp.concatenate(
+                    [prev_ref[0, 8 - j :, :], cur_ref[0, : TM - j, :]],
+                    axis=0,
+                )
+            # single-pass bf16 matmul with f32 accumulation — the
+            # numerics of istft(method="matmul_bf16") (the weights are
+            # handed in as bf16; DEFAULT precision on bf16 is one pass)
+            part = jax.lax.dot_general(
+                rows.astype(jnp.bfloat16),
+                w_ref[:, j * H : (j + 1) * H],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if j:
+                # rows with global frame index m0 + t - j < 0 only exist
+                # at g == 0 (the clamped prev block aliases real rows)
+                t_idx = jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
+                part = jnp.where(m0 + t_idx - j >= 0, part, 0.0)
+            acc = acc + part
+        out_ref[0] = acc * env_ref[:]
+
+    return kernel
+
+
+def istft_synthesis_fused(
+    spec_re: jnp.ndarray,
+    spec_im: jnp.ndarray,
+    Ci: jnp.ndarray,
+    Si: jnp.ndarray,
+    hop: int,
+    inv_env: np.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused iSTFT synthesis: windowed inverse-DFT matmul, overlap-add and
+    window-square envelope division in ONE kernel pass.
+
+    Measured on v5e (tests/hw/hw_istft_fused.py): SPEED-NEUTRAL with
+    istft(method="matmul_bf16") — XLA already fuses the OLA and envelope
+    into the synthesis program — so this kernel's value is peak memory:
+    it never materializes the (B, nt, n_fft) frame tensor (254 MB at
+    bench shapes, growing linearly with signal length), which matters
+    for long-signal synthesis. With hop H and r = n_fft // H, output
+    chunk m is ``sum_j frames[m - j][jH:(j+1)H]``, so each grid step
+    computes r matmuls of its spec rows against column slices of the
+    (window-fused) iDFT matrix and writes each output sample exactly
+    once:
+
+        out[m0:m0+TM] = (sum_j S[m0-j : m0+TM-j] @ W[:, jH:(j+1)H]) * env
+
+    Layout: the re/im spec planes concatenate on the contraction axis
+    (one matmul instead of two); the previous grid step's last 8 rows
+    arrive as a second, 8-row block of the same array (r <= 8). Weights
+    are bf16-resident (~9 MB VMEM at n_fft=2048) — this kernel implements
+    the ``matmul_bf16`` synthesis numerics; use the unfused paths for f32.
+
+    ``spec_re``/``spec_im``: (B, nt, n_freq) f32 (frames on rows).
+    ``Ci``/``Si``: (n_freq, n_fft) window-fused iDFT matrices.
+    ``inv_env``: host-side (out_len,) reciprocal envelope (1 where the
+    window-square sum is below threshold). Returns (B, out_len) f32.
+    """
+    B, NT, F = spec_re.shape
+    n_fft = Ci.shape[1]
+    if n_fft % hop:
+        raise ValueError("fused synthesis needs hop | n_fft")
+    r = n_fft // hop
+    if r > 8:
+        raise ValueError("fused synthesis supports n_fft/hop <= 8")
+    H = hop
+    TM = _SYN_TM
+    out_len = int(inv_env.shape[0])
+    M_total = NT + r - 1
+    G = -(-M_total // TM)
+    NT_pad = G * TM
+    F2 = _round_up(2 * F, 128)
+
+    S2 = jnp.concatenate([spec_re, spec_im], axis=-1)
+    S2 = jnp.pad(S2, ((0, 0), (0, NT_pad - NT), (0, F2 - 2 * F)))
+    W2 = jnp.pad(
+        jnp.concatenate([Ci, Si], axis=0), ((0, F2 - 2 * F), (0, 0))
+    ).astype(jnp.bfloat16)
+
+    env = np.ones(NT_pad * H, dtype=np.float32)
+    env[:out_len] = np.asarray(inv_env, dtype=np.float32)
+    env = jnp.asarray(env.reshape(NT_pad, H))
+
+    out = pl.pallas_call(
+        _syn_kernel(r, TM, H),
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TM, F2), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM
+            ),
+            # previous step's tail: an 8-row block just left of `cur`
+            # (clamped at the start; the kernel masks the aliased rows)
+            pl.BlockSpec(
+                (1, 8, F2),
+                lambda b, g: (b, jnp.maximum(g * (_SYN_TM // 8) - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (F2, n_fft), lambda b, g: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TM, H), lambda b, g: (g, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TM, H), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G * TM, H), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * G * TM * F2 * n_fft,
+            bytes_accessed=4 * B * NT_pad * F2 + 2 * F2 * n_fft
+            + 4 * B * G * TM * H,
+            transcendentals=0,
+        ),
+    )(S2, S2, W2, env)
+
+    return out.reshape(B, G * TM * H)[:, :out_len]

@@ -122,3 +122,36 @@ def test_default_win_length():
     assert F.default_win_length(44100) == 2048
     assert F.default_win_length(16000) == 512
     assert F.default_win_length(22050) == 1024
+
+
+@pytest.mark.parametrize("win,hop", [(2048, 512), (512, 128)])
+def test_istft_fused_synthesis_matches_matmul(win, hop):
+    """The fused Pallas synthesis (iDFT matmul + OLA + envelope in one
+    pass, interpret mode off-TPU) reproduces the matmul istft to bf16
+    accuracy, including the match_stride frame accounting."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 1, 9000).astype(np.float32) * 0.3)
+    for ms in (False, True):
+        spec = F.stft(x, win, hop, match_stride=ms, method="matmul")
+        ref = F.istft(
+            spec, win, hop, match_stride=ms, original_length=9000,
+            method="matmul",
+        )
+        got = F.istft(
+            spec, win, hop, match_stride=ms, original_length=9000,
+            method="matmul_bf16_fused_interpret",
+        )
+        assert got.shape == ref.shape
+        scale = float(jnp.abs(ref).max())
+        assert float(jnp.abs(got - ref).max()) / scale < 6e-3, (win, ms)
+
+
+def test_istft_fused_cpu_fallback_runs():
+    """method="matmul_bf16_fused" without interpret falls back to the
+    matmul_bf16 lowering off-TPU (same contract as the Pallas meter)."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 1, 5000).astype(np.float32))
+    spec = F.stft(x, 512, 128, method="matmul")
+    y = F.istft(spec, 512, 128, length=5000, method="matmul_bf16_fused")
+    ref = F.istft(spec, 512, 128, length=5000, method="matmul_bf16")
+    assert np.abs(np.asarray(y - ref)).max() < 1e-6

@@ -19,8 +19,12 @@ RESULT (v5e, 2026-08-19):
                                are 1.6x the grouped slice-add OLA; XLA's
                                existing lowering wins)
 istft is at its measured floor: the matmul is roofline-bound and the
-OLA alternative lost. No remaining istft lever short of fusing
-iDFT+OLA in one Pallas kernel (bounded by the same matmul roofline).
+OLA alternative lost. FOLLOW-UP (hw_istft_fused.py): the sum of these
+separately-timed stages (8.4 ms) OVER-ATTRIBUTES — the whole
+istft(method="matmul_bf16") program compiles to 2.50 ms because XLA
+fuses the OLA and envelope into the synthesis matmul and never
+materializes the frame tensor; a hand-fused Pallas kernel exactly
+matches it (2.55 ms) and is kept only for its peak-memory win.
 """
 import numpy as np
 
