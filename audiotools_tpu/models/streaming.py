@@ -96,7 +96,11 @@ def decoder_halo_frames(model: DAC, margin: int = 2) -> int:
 def _window_starts(total: int, chunk: int, halo: int, W: int):
     """Yield ``(start, lo, hi)``: window start and the central slice
     ``[lo, hi)`` (window-relative) holding output positions
-    ``[i*chunk, min((i+1)*chunk, total))``."""
+    ``[i*chunk, min((i+1)*chunk, total))``.
+
+    Single source of the clamped window-start invariant; both flush
+    paths iterate it (``_emit_ready`` cannot — the right clamp needs
+    ``total``, which is unknown until the stream ends)."""
     n = math.ceil(total / chunk)
     for i in range(n):
         pos = i * chunk
@@ -208,29 +212,28 @@ class StreamingEncoder:
             return
         if total * self.hop < self.W:
             # stream shorter than one window: the full model IS the
-            # fixed-shape program here (single call, no cropping)
+            # fixed-shape program here (single call, no cropping). Reuse
+            # the jitted closure — an eager apply would be hundreds of
+            # ~10s remote dispatches on the tunneled TPU (ADVICE r4).
             pad = total * self.hop - self._buf.shape[-1]
             w = np.pad(self._buf, ((0, 0), (0, 0), (0, pad)))
-            _, codes = self.model.apply(
-                self.params, jnp.asarray(w), method=DAC.encode,
-                n_quantizers=self._nq,
-            )
-            codes = np.asarray(codes)[:, :, self._next_frame :]
+            codes = np.asarray(self._enc(self.params, jnp.asarray(w)))
+            codes = codes[:, :, self._next_frame :]
             if codes.shape[-1]:
                 yield codes
             return
         pad = total * self.hop - self._buf.shape[-1]
         if pad:
             self._buf = np.pad(self._buf, ((0, 0), (0, 0), (0, pad)))
-        while self._next_frame < total:
-            pos = self._next_frame
-            end = min(pos + self.chunk, total)
-            start = min(max(pos - self.halo, 0) * self.hop,
-                        total * self.hop - self.W)
-            codes = np.asarray(self._enc(self.params, self._window(start)))
-            lo = pos - (start // self.hop)
-            yield codes[:, :, lo : lo + (end - pos)]
-            self._next_frame = end
+        Wf = self.W // self.hop  # window length in frames
+        for start, lo, hi in _window_starts(total, self.chunk, self.halo, Wf):
+            if start + lo < self._next_frame:
+                continue  # already emitted by _emit_ready
+            codes = np.asarray(
+                self._enc(self.params, self._window(start * self.hop))
+            )
+            yield codes[:, :, lo:hi]
+            self._next_frame = start + hi
 
 
 class StreamingDecoder:
@@ -307,24 +310,20 @@ class StreamingDecoder:
         if total == 0:
             return
         if total < self.W:
-            audio = np.asarray(
-                self.model.apply(
-                    self.params, jnp.asarray(self._buf),
-                    method=DAC.decode_from_codes,
-                )
-            )
+            # single fixed-shape jitted call, not an eager apply (the
+            # tunneled TPU charges ~10s per eager dispatch; ADVICE r4)
+            audio = np.asarray(self._dec(self.params, jnp.asarray(self._buf)))
             audio = audio[:, :, self._next_frame * self.hop :]
             if audio.shape[-1]:
                 yield audio
             return
-        while self._next_frame < total:
-            pos = self._next_frame
-            end = min(pos + self.chunk, total)
-            start = min(max(pos - self.halo, 0), total - self.W)
+        for start, lo, hi in _window_starts(total, self.chunk, self.halo,
+                                            self.W):
+            if start + lo < self._next_frame:
+                continue  # already emitted by _emit_ready
             audio = np.asarray(self._dec(self.params, self._window(start)))
-            lo = (pos - start) * self.hop
-            yield audio[:, :, lo : lo + (end - pos) * self.hop]
-            self._next_frame = end
+            yield audio[:, :, lo * self.hop : hi * self.hop]
+            self._next_frame = start + hi
 
 
 def stream_encode(

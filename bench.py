@@ -231,17 +231,18 @@ def main():
         float(_chain_loop_fir(sig.audio_data, kw, n2))
         t2 = time.perf_counter()
         steady_fir = ((t2 - t1) - (t1 - t0)) / 10
-        if not (0.0 < steady_fir):
-            steady_fir = float("nan")
+        # Timing noise can make the two-point difference non-positive;
+        # emit null rather than bare NaN (invalid JSON) in that case.
+        noisy = not (0.0 < steady_fir)
         print(
             json.dumps(
                 {
                     "metric": "clips_per_sec_chip_b64_5s_chain_fir_meter",
-                    "value": round(BATCH / steady_fir, 2),
+                    "value": None if noisy else round(BATCH / steady_fir, 2),
                     "unit": "clips/s/chip (512-tap reference-parity FIR "
                     "meter chain; headline uses the exact blocked-IIR "
                     "meter, which is also the faster one)",
-                    "vs_baseline": round(
+                    "vs_baseline": None if noisy else round(
                         BATCH / steady_fir * DURATION / TARGET_RTF, 2
                     ),
                 }
