@@ -218,29 +218,54 @@ class AudioSignal(
         else:
             from ..ops.loudness import host_loudness
 
-            loudness = -np.inf
-            num_try = 0
-            while loudness <= loudness_cutoff:
-                excerpt = cls.excerpt(audio_path, state=state, **kwargs)
-                # scipy/numpy meter: this loop runs in dataloader workers
-                # on host, where the jittable meter is ~150x slower
-                # (profilers/profile_load.py); numerics match to ~4e-6.
-                loudness = host_loudness(
-                    np.asarray(excerpt.audio_data), excerpt.sample_rate
+            # scipy/numpy meter: this path runs in dataloader workers on
+            # host, where the jittable meter is ~150x slower
+            # (profilers/profile_load.py); numerics match to ~4e-6.
+            # Try 1 is metered alone (the common case: one draw, one
+            # meter call, identical state consumption to the sequential
+            # loop). Only if it misses the cutoff are the REMAINING
+            # candidates drawn up front and metered in ONE batched call
+            # — num_tries-1 candidates cost one lfilter pass instead of
+            # up to num_tries-1 (reference profiles salient_excerpt as
+            # the dominant loader cost, profilers/profile_load.py:62-74).
+            excerpt = cls.excerpt(audio_path, state=state, **kwargs)
+            loudness = host_loudness(
+                np.asarray(excerpt.audio_data), excerpt.sample_rate
+            )
+            # num_tries=None reproduces the reference's unbounded retry
+            # loop (audio_signal.py:227-286): batches of 7 until a pass.
+            while np.asarray(loudness).max() <= loudness_cutoff:
+                n_rest = 7 if num_tries is None else max(int(num_tries) - 1, 0)
+                if n_rest == 0:
+                    break
+                cands = [
+                    cls.excerpt(audio_path, state=state, **kwargs)
+                    for _ in range(n_rest)
+                ]
+                stack = np.concatenate(
+                    [np.asarray(c.audio_data) for c in cands], axis=0
                 )
-                num_try += 1
-                if num_tries is not None and num_try >= num_tries:
+                louds = np.atleast_1d(
+                    np.asarray(host_loudness(stack, cands[0].sample_rate))
+                )
+                passing = np.flatnonzero(louds > loudness_cutoff)
+                pick = int(passing[0]) if passing.size else n_rest - 1
+                excerpt, loudness = cands[pick], louds[pick]
+                if num_tries is not None:
                     break
             # cache, as LoudnessMixin.loudness would (loudness.py:314-318)
-            excerpt._loudness = jnp.asarray(loudness)
+            excerpt._loudness = np.asarray(loudness, dtype=np.float32)
         return excerpt
 
     @classmethod
     def zeros(cls, duration, sample_rate, num_channels=1, batch_size=1, **kwargs):
-        """All-zero AudioSignal (reference audio_signal.py:288-324)."""
+        """All-zero AudioSignal (reference audio_signal.py:288-324).
+
+        Host-backed (numpy): ``zeros`` feeds the data path (silent tracks
+        in aligned multitrack loading), which must not touch the device."""
         n_samples = int(duration * sample_rate)
         return cls(
-            jnp.zeros((batch_size, num_channels, n_samples), dtype=jnp.float32),
+            np.zeros((batch_size, num_channels, n_samples), dtype=np.float32),
             sample_rate,
             **kwargs,
         )
@@ -309,8 +334,15 @@ class AudioSignal(
                     f"truncate_signals=True to reconcile them."
                 )
 
+        # keep host-backed batches on host: one numpy concat beats B eager
+        # device concats, and the batch crosses to HBM once, in prepare_batch
+        xp = (
+            np
+            if all(isinstance(x.audio_data, np.ndarray) for x in audio_signals)
+            else jnp
+        )
         stacked = cls(
-            jnp.concatenate([x.audio_data for x in audio_signals], axis=dim),
+            xp.concatenate([x.audio_data for x in audio_signals], axis=dim),
             sample_rate=audio_signals[0].sample_rate,
         )
         stacked.path_to_file = [x.path_to_file for x in audio_signals]
@@ -331,7 +363,9 @@ class AudioSignal(
                 f"Audio file {audio_path} with offset {offset} and "
                 f"duration {duration} is empty!"
             )
-        data = util.ensure_tensor(data)
+        # stay numpy: file-loaded signals are host-side until an explicit
+        # device_put / jit boundary (one transfer per BATCH, not per item)
+        data = np.asarray(data, dtype=np.float32)
         if data.ndim < 2:
             data = data[None, :]
         if data.ndim < 3:
@@ -345,8 +379,12 @@ class AudioSignal(
 
     def load_from_array(self, audio_array, sample_rate, device=None):
         """Load from an array, reshaping to (B, C, T)
-        (reference audio_signal.py:526-564)."""
-        audio_data = util.ensure_tensor(audio_array)
+        (reference audio_signal.py:526-564). numpy input stays
+        numpy-backed (host side); jax input stays on its device."""
+        if isinstance(audio_array, np.ndarray):
+            audio_data = audio_array
+        else:
+            audio_data = util.ensure_tensor(audio_array)
         if audio_data.dtype == jnp.float64:
             audio_data = audio_data.astype(jnp.float32)
         if audio_data.ndim < 2:
@@ -473,6 +511,29 @@ class AudioSignal(
         self.audio_data = self.audio_data.astype(jnp.float32)
         return self
 
+    def quantize_wire(self, dtype: str = "int16"):
+        """Quantize audio for the host->device wire (data/loader.py):
+        symmetric ``round(x*32768)`` into int16 — half the transfer
+        bytes, error <= 1.5e-5. Keeps the cached loudness (quantization
+        noise is ~91 dB down). Pair with :meth:`dequantize_wire`."""
+        if dtype != "int16":
+            raise ValueError(f"unsupported wire dtype {dtype!r}")
+        x = self.audio_data
+        xp = np if isinstance(x, np.ndarray) else jnp
+        self._audio_data = xp.clip(
+            xp.round(x * 32768.0), -32768, 32767
+        ).astype(xp.int16)
+        return self
+
+    def dequantize_wire(self):
+        """Invert :meth:`quantize_wire` (no-op on float audio). The dtype
+        test is static under trace, so calling this first inside a jitted
+        step folds dequantization into the step's program — no extra
+        dispatch."""
+        if self.audio_data.dtype == jnp.int16:
+            self._audio_data = self.audio_data.astype(jnp.float32) / 32768.0
+        return self
+
     def cpu(self):
         return self.to("cpu")
 
@@ -485,7 +546,8 @@ class AudioSignal(
 
     def zero_pad(self, before: int, after: int):
         """Zero pad along time (reference audio_signal.py:799-815)."""
-        self.audio_data = jnp.pad(
+        xp = np if isinstance(self.audio_data, np.ndarray) else jnp
+        self.audio_data = xp.pad(
             self.audio_data, ((0, 0), (0, 0), (before, after))
         )
         return self
@@ -531,7 +593,11 @@ class AudioSignal(
     @audio_data.setter
     def audio_data(self, data):
         if data is not None:
-            if not isinstance(data, jnp.ndarray):
+            # numpy arrays are kept as-is: the host data path (file decode,
+            # salient excerpt, collate) stays numpy-backed so it never pays
+            # per-item device round trips (the tunneled TPU charges ~ms per
+            # transfer); any jnp op converts lazily at the device boundary.
+            if not isinstance(data, (jnp.ndarray, np.ndarray)):
                 data = jnp.asarray(data)
             assert data.ndim == 3, "audio_data should be 3-dim (B, C, T)"
         self._audio_data = data
@@ -916,7 +982,7 @@ class AudioSignal(
             return np.asarray(a)
 
         for k, v in list(self.__dict__.items()):
-            if isinstance(v, jnp.ndarray):
+            if isinstance(v, (jnp.ndarray, np.ndarray)):
                 ov = other.__dict__[k]
                 if ov is None or not np.allclose(host(v), host(ov), atol=1e-6):
                     max_error = (
@@ -953,7 +1019,7 @@ class AudioSignal(
         else:
             raise ValueError(f"Unsupported key type: {type(key)}")
 
-        if isinstance(audio_data, jnp.ndarray) and audio_data.ndim < 3:
+        if isinstance(audio_data, (jnp.ndarray, np.ndarray)):
             while audio_data.ndim < 3:
                 audio_data = audio_data[None, ...]
 
@@ -970,8 +1036,18 @@ class AudioSignal(
         # inside jit use `AudioSignal.where`.
         if isinstance(key, list):
             key = np.asarray(key)
+
+        def _assign(dst, src):
+            # functional update on either backing: numpy copies + assigns,
+            # jnp rebuilds via .at[] (immutable)
+            if isinstance(dst, np.ndarray):
+                out = dst.copy()
+                out[key] = np.asarray(src)
+                return out
+            return dst.at[key].set(src)
+
         if not isinstance(value, type(self)):
-            self._audio_data = self.audio_data.at[key].set(value)
+            self._audio_data = _assign(self.audio_data, value)
             return
 
         if (
@@ -990,7 +1066,7 @@ class AudioSignal(
         ):
 
             def _set(dst, src):
-                return dst.at[key].set(src.reshape(dst[key].shape))
+                return _assign(dst, src.reshape(dst[key].shape))
 
             if self.audio_data is not None and value.audio_data is not None:
                 self._audio_data = _set(self.audio_data, value.audio_data)

@@ -335,19 +335,31 @@ def _default_collate(values):
         values = [bool(v) if isinstance(v, AlwaysTrue) else v for v in values]
         v0 = values[0]
     if isinstance(v0, (np.ndarray, jnp.ndarray)):
-        return jnp.stack([jnp.asarray(v) for v in values])
+        # all-host columns stack on host (numpy); any device value keeps
+        # the stack on device. The batch crosses to HBM once, later
+        # (prepare_batch / the consumer's jit), not per column.
+        if any(isinstance(v, jnp.ndarray) for v in values):
+            return jnp.stack([jnp.asarray(v) for v in values])
+        return np.stack(values)
     if isinstance(v0, (bool, np.bool_)):
-        return jnp.asarray(values, dtype=bool)
+        return np.asarray(values, dtype=bool)
     if isinstance(v0, (int, np.integer)):
-        return jnp.asarray(values, dtype=jnp.int32)
+        return np.asarray(values, dtype=np.int32)
     if isinstance(v0, (float, np.floating)):
-        return jnp.asarray(values, dtype=jnp.float32)
+        return np.asarray(values, dtype=np.float32)
     return values
 
 
 def collate(list_of_dicts: list, n_splits: int = None):
     """AudioSignal-aware collation with optional sub-batch splitting
     (reference util.py:426-479)."""
+    from .._hostprof import span
+
+    with span("collate"):
+        return _collate_impl(list_of_dicts, n_splits)
+
+
+def _collate_impl(list_of_dicts: list, n_splits: int = None):
     from .signal import AudioSignal
 
     def collate_chunk(items):

@@ -44,14 +44,17 @@ from .datasets import AudioLoader
 
 
 def tt(x):
-    """Convert a value to a jnp array (the role the reference gives
-    ``torch.tensor``, transforms.py:17)."""
+    """Array-ify a value (the role the reference gives ``torch.tensor``,
+    transforms.py:17). Host values become numpy — instantiate() runs in
+    dataloader workers, which must never touch the device — and cross to
+    HBM once per batch at the jit boundary; traced/device values pass
+    through."""
     if isinstance(x, jnp.ndarray):
         return x
     x = np.asarray(x)
     if x.dtype == np.float64:
         x = x.astype(np.float32)
-    return jnp.asarray(x)
+    return x
 
 
 def _mask_statically_true(mask) -> bool:
@@ -165,12 +168,15 @@ class BaseTransform:
         transforms.py:171-226). Values that are not already signals,
         arrays, or sub-dicts are converted with ``tt``; the Bernoulli
         mask is drawn AFTER the parameters (fixed draw order)."""
+        from .._hostprof import span
+
         state = util.random_state(state)
 
-        if "signal" in signature(self._instantiate).parameters:
-            params = self._instantiate(state, signal=signal)
-        else:
-            params = self._instantiate(state)
+        with span("instantiate"):
+            if "signal" in signature(self._instantiate).parameters:
+                params = self._instantiate(state, signal=signal)
+            else:
+                params = self._instantiate(state)
 
         passthrough = (AudioSignal, jnp.ndarray, dict)
         params = {

@@ -76,6 +76,13 @@ def load_audio(path, offset: float = 0.0, duration: float = None):
     Prefers the native C++ decode engine (``audiotools_tpu.native``) and
     falls back to the pure-Python codec.
     """
+    from .._hostprof import span
+
+    with span("decode"):
+        return _load_audio(path, offset, duration)
+
+
+def _load_audio(path, offset: float = 0.0, duration: float = None):
     path = Path(path)
     suffix = path.suffix.lower()
     if suffix == ".wav":

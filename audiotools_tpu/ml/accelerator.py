@@ -173,7 +173,11 @@ class Accelerator:
     ):
         """Build a DataLoader with per-process sharded, resumable sampling
         (reference accelerator.py:140-174). Batch size and workers are
-        divided by the process count (per-host batch = global / hosts)."""
+        divided by the process count (per-host batch = global / hosts).
+        Loader kwargs pass through — notably ``to_device=True`` with
+        ``device=<NamedSharding>`` and ``wire_dtype="int16"`` stage each
+        batch onto the mesh from the producer thread (half the wire
+        bytes; dequantize in-step with ``signal.dequantize_wire()``)."""
         if self.num_processes > 1:
             sampler = ResumableDistributedSampler(
                 dataset,

@@ -403,6 +403,16 @@ def host_loudness(
     """
     from scipy.signal import lfilter
 
+    from .._hostprof import span
+
+    with span("salient_meter"):
+        return _host_loudness_impl(
+            audio_data, sample_rate, filter_class, block_size, lfilter
+        )
+
+
+def _host_loudness_impl(audio_data, sample_rate, filter_class, block_size,
+                        lfilter):
     data = np.asarray(audio_data, dtype=np.float64)
     if data.ndim == 1:
         data = data[None, None, :]

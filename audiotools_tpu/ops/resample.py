@@ -47,6 +47,37 @@ def resample_kernels(
     return np.stack(kernels).astype(np.float32), width
 
 
+def _resample_host(
+    audio: np.ndarray, old: int, new: int, kernels: np.ndarray, width: int
+) -> np.ndarray:
+    """Numpy evaluation of the same polyphase bank, for the host data
+    path (dataloader workers must never touch the device — the tunneled
+    TPU charges ~ms per eager dispatch). Identical math to the device
+    conv up to f32 summation order (pinned <=2e-5 in tests)."""
+    from .._hostprof import span
+
+    with span("resample"):
+        return _resample_host_impl(audio, old, new, kernels, width)
+
+
+def _resample_host_impl(audio, old, new, kernels, width):
+    T = audio.shape[-1]
+    batch_shape = audio.shape[:-1]
+    x = audio.reshape((-1, T)).astype(np.float32)
+    x = np.pad(x, ((0, 0), (width, width + old)), mode="edge")
+    W = kernels.shape[-1]
+    n_blocks = (x.shape[-1] - W) // old + 1
+    s0, s1 = x.strides
+    frames = np.lib.stride_tricks.as_strided(
+        x, shape=(x.shape[0], n_blocks, W), strides=(s0, s1 * old, s1),
+        writeable=False,
+    )
+    # (B, n_blocks, W) x (new, W) -> (B, n_blocks, new), interleaved
+    y = np.einsum("btw,pw->btp", frames, kernels).reshape((x.shape[0], -1))
+    out_len = int(T * new / old)
+    return y[..., :out_len].reshape(batch_shape + (out_len,))
+
+
 def resample(
     audio: jnp.ndarray,
     old_sr: int,
@@ -57,13 +88,16 @@ def resample(
     """Resample ``(..., T)`` audio from ``old_sr`` to ``new_sr``.
 
     Output length is ``int(T * new_sr / old_sr)`` (reference resample via
-    julius, audio_signal.py:732).
+    julius, audio_signal.py:732). numpy input resolves on the host
+    (same kernels, numpy einsum) and stays numpy.
     """
     if old_sr == new_sr:
         return audio
     gcd = math.gcd(int(old_sr), int(new_sr))
     old, new = int(old_sr) // gcd, int(new_sr) // gcd
     kernels, width = resample_kernels(old, new, zeros, rolloff)
+    if isinstance(audio, np.ndarray):
+        return _resample_host(audio, old, new, kernels, width)
 
     T = audio.shape[-1]
     batch_shape = audio.shape[:-1]
