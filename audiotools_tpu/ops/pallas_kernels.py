@@ -34,6 +34,7 @@ __all__ = [
     "fir_conv_causal",
     "fir_conv_causal_batch",
     "istft_synthesis_fused",
+    "rotation_cumprod",
 ]
 
 BLK = 128        # output tile width (lane dim)
@@ -251,8 +252,15 @@ def fir_conv_causal_batch(
 _PV_ROW_TILE = 1024  # lanes per grid step
 
 
-def _pv_kernel(n_steps: int):
-    def kernel(i0_ref, i1_ref, frac_ref, zr_ref, zi_ref, or_ref, oi_ref):
+def _pv_kernel(n_steps: int, with_phasor: bool = False):
+    """``with_phasor=True`` additionally emits the unit phasor track
+    ``P[s]`` (the scan carry, free to write) — the custom VJP's residual,
+    which saves the backward a full re-scan + relayout of the rotation
+    planes (measured 7.5 ms of the first backward cut's 23 ms,
+    tests/hw/hw_pv_bwd_parts.py)."""
+
+    def kernel(i0_ref, i1_ref, frac_ref, zr_ref, zi_ref, or_ref, oi_ref,
+               *p_refs):
         # seed: the first analysis frame's unit phasor (frame i0[0] == 0)
         sr = zr_ref[pl.ds(0, 1), :]
         si = zi_ref[pl.ds(0, 1), :]
@@ -278,6 +286,9 @@ def _pv_kernel(n_steps: int):
             mag = (1.0 - f) * a0 + f * a1
             or_ref[pl.ds(s, 1), :] = mag * acc_r
             oi_ref[pl.ds(s, 1), :] = mag * acc_i
+            if with_phasor:
+                p_refs[0][pl.ds(s, 1), :] = acc_r
+                p_refs[1][pl.ds(s, 1), :] = acc_i
 
             # unit rotation u[s] = z1 * conj(z0) / (|z0||z1|); zero frames
             # contribute the identity rotation (matches ops/stretch.py)
@@ -301,7 +312,8 @@ def phase_vocoder_fused(
     i1: np.ndarray,
     frac: np.ndarray,
     interpret: bool = False,
-) -> jnp.ndarray:
+    with_phasor: bool = False,
+):
     """Fused phasor-formulation phase vocoder: one pass over the spectrum.
 
     The XLA evaluations materialize several (B, F, T) planes in HBM
@@ -310,16 +322,24 @@ def phase_vocoder_fused(
     on lanes, so the per-step frame loads are dynamic sublane slices.
 
     ``i0``/``i1``/``frac`` are the static step index/interpolation arrays
-    (``ops.stretch._pv_indices``). Returns ``(..., F, n_steps)`` complex.
+    (``ops.stretch._pv_indices``). Returns ``(..., F, n_steps)`` complex;
+    with ``with_phasor=True`` returns ``(out, (Pr, Pi))`` where ``P`` is
+    the unit phasor track ``out = mag * P`` — the custom VJP's residual
+    (its backward needs ``P``, and emitting the scan carry here is far
+    cheaper than re-scanning: tests/hw/hw_pv_bwd_parts.py).
     """
     *lead, F_bins, T = stft_data.shape
     n_steps = int(i0.shape[0])
     rows = int(np.prod(lead, dtype=np.int64)) * F_bins if lead else F_bins
 
+    # 4 double-buffered output blocks (out + P) blow the 16 MB scoped
+    # VMEM limit at the 1024-lane tile; halve the tile for that variant
+    tile = _PV_ROW_TILE // 2 if with_phasor else _PV_ROW_TILE
+
     # (rows, T) -> (T, rows); pad rows to the lane tile
     zr = jnp.real(stft_data).reshape(rows, T).T
     zi = jnp.imag(stft_data).reshape(rows, T).T
-    r_pad = -rows % _PV_ROW_TILE
+    r_pad = -rows % tile
     if r_pad:
         zr = jnp.pad(zr, ((0, 0), (0, r_pad)))
         zi = jnp.pad(zi, ((0, 0), (0, r_pad)))
@@ -330,29 +350,30 @@ def phase_vocoder_fused(
     s_pad = -n_steps % 8
     rows_p = rows + r_pad
 
+    n_out = 4 if with_phasor else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(rows_p // _PV_ROW_TILE,),
+        grid=(rows_p // tile,),
         in_specs=[
-            pl.BlockSpec((T + t_pad, _PV_ROW_TILE), lambda j, *_: (0, j)),
-            pl.BlockSpec((T + t_pad, _PV_ROW_TILE), lambda j, *_: (0, j)),
+            pl.BlockSpec((T + t_pad, tile), lambda j, *_: (0, j)),
+            pl.BlockSpec((T + t_pad, tile), lambda j, *_: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((n_steps + s_pad, _PV_ROW_TILE), lambda j, *_: (0, j)),
-            pl.BlockSpec((n_steps + s_pad, _PV_ROW_TILE), lambda j, *_: (0, j)),
-        ],
+            pl.BlockSpec((n_steps + s_pad, tile), lambda j, *_: (0, j))
+        ]
+        * n_out,
     )
-    out_r, out_i = pl.pallas_call(
-        _pv_kernel(n_steps),
+    outs = pl.pallas_call(
+        _pv_kernel(n_steps, with_phasor=with_phasor),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_steps + s_pad, rows_p), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps + s_pad, rows_p), jnp.float32),
-        ],
+            jax.ShapeDtypeStruct((n_steps + s_pad, rows_p), jnp.float32)
+        ]
+        * n_out,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=rows_p * n_steps * 24,
-            bytes_accessed=4 * rows_p * (2 * (T + t_pad) + 2 * n_steps),
+            bytes_accessed=4 * rows_p * (2 * (T + t_pad) + n_out * n_steps),
             transcendentals=0,
         ),
     )(
@@ -363,9 +384,103 @@ def phase_vocoder_fused(
         zi,
     )
     out_shape = tuple(lead) + (F_bins, n_steps)
-    return jax.lax.complex(
-        out_r[:n_steps, :rows].T.reshape(out_shape),
-        out_i[:n_steps, :rows].T.reshape(out_shape),
+
+    def _back(x):
+        return x[:n_steps, :rows].T.reshape(out_shape)
+
+    out = jax.lax.complex(_back(outs[0]), _back(outs[1]))
+    if with_phasor:
+        return out, (_back(outs[2]), _back(outs[3]))
+    return out
+
+
+def _rot_scan_kernel(n_steps: int):
+    """Exclusive cumulative rotation: emit the carry, then advance it by
+    the step's rotation — the ``_pv_kernel`` scan without magnitudes."""
+
+    def kernel(ur_ref, ui_ref, cr_ref, ci_ref, pr_ref, pi_ref):
+        def body(s, carry):
+            ar, ai = carry
+            pr_ref[pl.ds(s, 1), :] = ar
+            pi_ref[pl.ds(s, 1), :] = ai
+            ur = ur_ref[pl.ds(s, 1), :]
+            ui = ui_ref[pl.ds(s, 1), :]
+            return ar * ur - ai * ui, ar * ui + ai * ur
+
+        jax.lax.fori_loop(
+            0, n_steps, body, (cr_ref[pl.ds(0, 1), :], ci_ref[pl.ds(0, 1), :])
+        )
+
+    return kernel
+
+
+def rotation_cumprod(
+    ur: jnp.ndarray,
+    ui: jnp.ndarray,
+    cr: jnp.ndarray,
+    ci: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Exclusive cumulative complex product over the last axis:
+    ``P[0] = c``, ``P[s+1] = P[s] * u[s]`` for real-pair planes
+    ``(ur, ui)`` of shape ``(..., n)`` and seeds ``(cr, ci)`` of shape
+    ``(...,)``. Returns ``(Pr, Pi)`` shaped like ``ur``.
+
+    This is :func:`phase_vocoder_fused`'s in-VMEM rotation scan without
+    the magnitude modulation; its custom VJP uses it to reconstruct the
+    unit phasor track ``P`` in the backward pass (one kernel pass instead
+    of an HBM-resident associative scan). Same layout: steps on sublanes,
+    rows on lanes.
+    """
+    *lead, n = ur.shape
+    rows = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    urt = ur.reshape(rows, n).T
+    uit = ui.reshape(rows, n).T
+    crf = cr.reshape(rows)
+    cif = ci.reshape(rows)
+    r_pad = -rows % _PV_ROW_TILE
+    s_pad = -n % 8
+    if r_pad:
+        urt = jnp.pad(urt, ((0, 0), (0, r_pad)))
+        uit = jnp.pad(uit, ((0, 0), (0, r_pad)))
+        crf = jnp.pad(crf, (0, r_pad))
+        cif = jnp.pad(cif, (0, r_pad))
+    if s_pad:
+        urt = jnp.pad(urt, ((0, s_pad), (0, 0)))
+        uit = jnp.pad(uit, ((0, s_pad), (0, 0)))
+    rows_p = rows + r_pad
+    # seed as an 8-row block (sublane tile); the kernel reads row 0
+    seed_r = jnp.pad(crf[None, :], ((0, 7), (0, 0)))
+    seed_i = jnp.pad(cif[None, :], ((0, 7), (0, 0)))
+
+    pr, pi = pl.pallas_call(
+        _rot_scan_kernel(n),
+        grid=(rows_p // _PV_ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec((n + s_pad, _PV_ROW_TILE), lambda j: (0, j)),
+            pl.BlockSpec((n + s_pad, _PV_ROW_TILE), lambda j: (0, j)),
+            pl.BlockSpec((8, _PV_ROW_TILE), lambda j: (0, j)),
+            pl.BlockSpec((8, _PV_ROW_TILE), lambda j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n + s_pad, _PV_ROW_TILE), lambda j: (0, j)),
+            pl.BlockSpec((n + s_pad, _PV_ROW_TILE), lambda j: (0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n + s_pad, rows_p), jnp.float32),
+            jax.ShapeDtypeStruct((n + s_pad, rows_p), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=rows_p * n * 6,
+            bytes_accessed=4 * rows_p * n * 4,
+            transcendentals=0,
+        ),
+    )(urt, uit, seed_r, seed_i)
+    out_shape = tuple(lead) + (n,)
+    return (
+        pr[:n, :rows].T.reshape(out_shape),
+        pi[:n, :rows].T.reshape(out_shape),
     )
 
 

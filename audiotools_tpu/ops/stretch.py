@@ -7,6 +7,7 @@ run on-device as batched XLA programs: STFT -> magnitude interpolation +
 cumulative phase propagation (a vectorized cumsum, no sequential loop) ->
 ISTFT, so they are fast on TPU *and* differentiable.
 """
+import functools
 from fractions import Fraction
 
 import jax
@@ -17,6 +18,118 @@ from . import fft as _fft
 from . import resample as _resample
 
 __all__ = ["phase_vocoder", "time_stretch", "pitch_shift"]
+
+
+def _pv_phasor_prep(stft_data, i0, i1, frac):
+    """Shared primal pieces of the phasor-form PV: interpolated
+    magnitudes ``mag``, per-step unit rotations ``(ur, ui)`` (identity at
+    silent bins, matching the angle path's ``atan2(0, 0) == 0``), and the
+    first frame's unit seed phasor ``(cr, ci)``."""
+    z0 = stft_data[..., i0]
+    z1 = stft_data[..., i1]
+    a0 = jnp.abs(z0)
+    a1 = jnp.abs(z1)
+    mag = (1.0 - frac) * a0 + frac * a1
+
+    # unit phasor of each step's phase advance: z1 * conj(z0), normalized
+    wr = jnp.real(z1) * jnp.real(z0) + jnp.imag(z1) * jnp.imag(z0)
+    wi = jnp.imag(z1) * jnp.real(z0) - jnp.real(z1) * jnp.imag(z0)
+    norm = a0 * a1
+    safe = jnp.where(norm > 0.0, norm, 1.0)
+    ur = jnp.where(norm > 0.0, wr / safe, 1.0)
+    ui = jnp.where(norm > 0.0, wi / safe, 0.0)
+
+    f0 = z0[..., 0]
+    fa = jnp.abs(f0)
+    fsafe = jnp.where(fa > 0.0, fa, 1.0)
+    cr = jnp.where(fa > 0.0, jnp.real(f0) / fsafe, 1.0)
+    ci = jnp.where(fa > 0.0, jnp.imag(f0) / fsafe, 0.0)
+    return mag, ur, ui, cr, ci
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_pv_diff(i0b: bytes, i1b: bytes, fracb: bytes, interpret: bool):
+    """Differentiable fused PV for a fixed (static) step-index triple.
+
+    Forward: the Pallas in-VMEM rotation scan
+    (``pallas_kernels.phase_vocoder_fused``). Backward (``custom_vjp``,
+    since ``pallas_call`` has no automatic VJP): with ``P_s`` the unit
+    phasor track (``P_0 = c``, ``P_{s+1} = P_s u_s``) and output
+    ``out_s = mag_s P_s``, the real-pair chain rule gives (complex
+    cotangent notation, ``x̄ = dL/dx_r + i dL/dx_i``; products are
+    R²-bilinear so ``ā = ȳ conj(b)``):
+
+        Q_s = mag_s ḡ_s + conj(u_s) Q_{s+1}        (uses of P_s)
+        ū_s = Q_{s+1} conj(P_s),   c̄ = Q_0,   m̄_s = Re(ḡ_s conj(P_s))
+
+    Because every phasor is unit (|P| = |u| = 1 up to f32 roundoff), the
+    reverse rotation recurrence collapses to a plain reversed cumsum:
+    ``Q_s = P_s V_s`` with ``V_s = sum_{t>=s} w_t``,
+    ``w_t = mag_t ḡ_t conj(P_t)``, so
+
+        ū_s = u_s V_{s+1},   c̄ = c V_0.
+
+    Backward cost engineering (tests/hw/hw_pv_bwd_parts.py): ``P`` is the
+    forward kernel's scan carry, emitted as a residual
+    (``with_phasor=True``) instead of re-scanned in the backward (the
+    first cut's re-scan + relayouts were 7.5 of its 23 ms); the two
+    reversed cumsums run as ONE ``lax.cumsum(reverse=True)`` over a
+    stacked plane (the flip-flip evaluation costs 1.4x more); grads
+    reach the spectrogram through ``jax.vjp`` of the pure-jnp prep
+    (static gathers + normalization — XLA's static-index scatter-add
+    transpose measures a cheap 0.8 ms), which is the same math the
+    differentiable ``phasor`` formulation runs. Parity with that path's
+    ``jax.grad`` is pinned in tests/core/test_stretch.py.
+    """
+    from . import pallas_kernels as _pk
+
+    i0 = np.frombuffer(i0b, dtype=np.int32)
+    i1 = np.frombuffer(i1b, dtype=np.int32)
+    frac = np.frombuffer(fracb, dtype=np.float32)
+
+    def primal(zr, zi):
+        out = _pk.phase_vocoder_fused(
+            jax.lax.complex(zr, zi), i0, i1, frac, interpret=interpret
+        )
+        return jnp.real(out), jnp.imag(out)
+
+    @jax.custom_vjp
+    def f(zr, zi):
+        return primal(zr, zi)
+
+    def fwd(zr, zi):
+        out, (pr, pi) = _pk.phase_vocoder_fused(
+            jax.lax.complex(zr, zi), i0, i1, frac, interpret=interpret,
+            with_phasor=True,
+        )
+        return (jnp.real(out), jnp.imag(out)), (zr, zi, pr, pi)
+
+    def bwd(res, cot):
+        zr, zi, pr, pi = res
+        gr, gi = cot
+
+        def prep(r, i):
+            return _pv_phasor_prep(jax.lax.complex(r, i), i0, i1, frac)
+
+        (mag, ur, ui, cr, ci), prep_vjp = jax.vjp(prep, zr, zi)
+
+        mbar = gr * pr + gi * pi  # Re(ḡ conj(P))
+        wr = mag * mbar
+        wi = mag * (gi * pr - gr * pi)
+        # V_s = sum_{t>=s} w_t: one reverse cumsum over the stacked pair
+        stacked = jnp.stack([wr, wi], axis=-2)  # (..., 2, n)
+        v = jax.lax.cumsum(stacked, axis=stacked.ndim - 1, reverse=True)
+        vr, vi = v[..., 0, :], v[..., 1, :]
+        vr1 = jnp.concatenate([vr[..., 1:], jnp.zeros_like(vr[..., :1])], -1)
+        vi1 = jnp.concatenate([vi[..., 1:], jnp.zeros_like(vi[..., :1])], -1)
+        ubar_r = ur * vr1 - ui * vi1  # ū = u V_{s+1}
+        ubar_i = ur * vi1 + ui * vr1
+        cbar_r = cr * vr[..., 0] - ci * vi[..., 0]  # c̄ = c V_0
+        cbar_i = cr * vi[..., 0] + ci * vr[..., 0]
+        return prep_vjp((mbar, ubar_r, ubar_i, cbar_r, cbar_i))
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def _pv_indices(T: int, rate: float):
@@ -56,10 +169,14 @@ def phase_vocoder(
       the rotation scan never leaves VMEM (time on sublanes, rows on
       lanes; ``pallas_kernels.phase_vocoder_fused``). v5e-measured
       2.77 ms core vs angle's 5.96 (hw_pv_fused.py), 2.5e-5 rel vs the
-      angle path. NOT differentiable (``pallas_call`` has no VJP) —
-      the augmentation fast path; use ``"angle"``/``"phasor"`` under
-      ``jax.grad``. ``"phasor_fused_interpret"`` runs the same kernel
-      in interpreter mode for CPU tests.
+      angle path — the FORWARD fast path. Differentiable via a custom
+      VJP (``_fused_pv_diff``; grad parity with the ``phasor``
+      formulation pinned at 4.4e-5 on hardware): fwd+bwd measures
+      26.1 ms vs phasor's 37.8 and angle's 13.6 (hw_pv_fused_grad.py),
+      so when optimizing *through* the vocoder the default ``angle``
+      evaluation remains the fastest; the fused path no longer falls
+      off a differentiability cliff. ``"phasor_fused_interpret"`` runs
+      the same kernels in interpreter mode for CPU tests.
     - ``"phasor"``: the synthesis phase only ever enters the output
       through ``exp(i*phase)``, and phase *wrapping* is invisible in the
       complex domain — ``exp(i*(phi + wrap(dphi))) ==
@@ -77,15 +194,16 @@ def phase_vocoder(
         return _phase_vocoder_angle(stft_data, rate, hop_length, window_length)
     if formulation in ("phasor_fused", "phasor_fused_interpret"):
         # single-pass Pallas evaluation of the phasor form: the rotation
-        # scan never leaves VMEM (pallas_kernels.phase_vocoder_fused)
-        from . import pallas_kernels as _pk
-
+        # scan never leaves VMEM (pallas_kernels.phase_vocoder_fused),
+        # differentiable via the custom VJP in _fused_pv_diff
         T = stft_data.shape[-1]
         i0, i1, frac = _pv_indices(T, rate)
-        return _pk.phase_vocoder_fused(
-            stft_data, i0, i1, frac,
-            interpret=formulation.endswith("interpret"),
+        f = _fused_pv_diff(
+            i0.tobytes(), i1.tobytes(), frac.tobytes(),
+            formulation.endswith("interpret"),
         )
+        out_r, out_i = f(jnp.real(stft_data), jnp.imag(stft_data))
+        return jax.lax.complex(out_r, out_i)
     if formulation != "phasor":
         raise ValueError(
             f"formulation must be 'angle', 'phasor', or 'phasor_fused', "
@@ -94,32 +212,13 @@ def phase_vocoder(
     F_bins, T = stft_data.shape[-2], stft_data.shape[-1]
     i0, i1, frac = _pv_indices(T, rate)
 
-    z0 = stft_data[..., i0]
-    z1 = stft_data[..., i1]
-    a0 = jnp.abs(z0)
-    a1 = jnp.abs(z1)
-    mag_t = (1.0 - frac) * a0 + frac * a1
-
-    # unit phasor of each step's phase advance: z1 * conj(z0), normalized.
-    # A zero product (silent bin) contributes the identity rotation, which
-    # matches the angle formulation (atan2(0, 0) == 0).
-    wr = jnp.real(z1) * jnp.real(z0) + jnp.imag(z1) * jnp.imag(z0)
-    wi = jnp.imag(z1) * jnp.real(z0) - jnp.real(z1) * jnp.imag(z0)
-    norm = a0 * a1
-    safe = jnp.where(norm > 0.0, norm, 1.0)
-    ur = jnp.where(norm > 0.0, wr / safe, 1.0)
-    ui = jnp.where(norm > 0.0, wi / safe, 0.0)
+    # magnitudes, unit step rotations (identity at silent bins, matching
+    # the angle formulation's atan2(0, 0) == 0), and the seed phasor
+    mag_t, ur, ui, cr, ci = _pv_phasor_prep(stft_data, i0, i1, frac)
 
     # exclusive cumulative rotation, seeded with the first frame's phasor
-    f0 = z0[..., :1]
-    fa = jnp.abs(f0)
-    fsafe = jnp.where(fa > 0.0, fa, 1.0)
-    sr = jnp.concatenate(
-        [jnp.where(fa > 0.0, jnp.real(f0) / fsafe, 1.0), ur[..., :-1]], axis=-1
-    )
-    si = jnp.concatenate(
-        [jnp.where(fa > 0.0, jnp.imag(f0) / fsafe, 0.0), ui[..., :-1]], axis=-1
-    )
+    sr = jnp.concatenate([cr[..., None], ur[..., :-1]], axis=-1)
+    si = jnp.concatenate([ci[..., None], ui[..., :-1]], axis=-1)
 
     def rot(a, b):
         (ar, ai), (br, bi) = a, b

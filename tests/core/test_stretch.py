@@ -97,6 +97,91 @@ def test_silent_bins_stay_silent_and_finite(formulation):
     assert np.abs(out[:, 3, :]).max() == 0.0
 
 
+@pytest.mark.parametrize("rate", [1.3, 0.77, 2.0 ** (-2.0 / 12.0)])
+def test_fused_grad_matches_phasor_formulation(rate):
+    """The fused kernel's custom VJP (stretch._fused_pv_diff: one extra
+    rotation-scan kernel pass + a reversed cumsum) must reproduce the
+    pure-jnp phasor path's autodiff. Tolerance 5e-5: both paths measure
+    1.4-2.4e-5 max grad error vs a float64 oracle at these shapes (their
+    own f32 rounding), so mutual agreement cannot be pinned tighter."""
+    rng = np.random.RandomState(3)
+    re, im = _random_spec(rng, 2, 17, 25)
+    # silent bin + transient zero: hit the where-branch subgradients
+    re[:, 3, :] = 0.0
+    im[:, 3, :] = 0.0
+    re[0, 5, 7] = 0.0
+    im[0, 5, 7] = 0.0
+
+    def make(form):
+        def loss(r, i):
+            out = S.phase_vocoder(
+                jax.lax.complex(r, i), rate, 8, 32, formulation=form
+            )
+            return jnp.sum(jnp.abs(out) ** 2) + 0.5 * jnp.sum(jnp.real(out))
+
+        return loss
+
+    gfr, gfi = jax.grad(make("phasor_fused_interpret"), argnums=(0, 1))(
+        jnp.asarray(re), jnp.asarray(im)
+    )
+    gpr, gpi = jax.grad(make("phasor"), argnums=(0, 1))(
+        jnp.asarray(re), jnp.asarray(im)
+    )
+    scale = max(float(jnp.abs(gpr).max()), float(jnp.abs(gpi).max()))
+    assert float(jnp.abs(gfr - gpr).max()) / scale < 5e-5
+    assert float(jnp.abs(gfi - gpi).max()) / scale < 5e-5
+
+
+@pytest.mark.parametrize("n_semitones", [2.0, -3.0])
+def test_pitch_shift_fused_is_differentiable(n_semitones):
+    """pitch_shift/time_stretch under jax.grad take the fused path (both
+    resample-first and stretch-first branches); grads match the phasor
+    formulation through the full STFT -> PV -> ISTFT -> resample chain.
+    SURVEY §2 sells differentiable pitch/stretch as the TPU build's
+    advantage over the reference's sox subprocess (effects.py:247-309);
+    with the custom VJP the FAST path is also the differentiable one."""
+    rng = np.random.RandomState(5)
+    audio = (rng.randn(2, 3000) * 0.1).astype(np.float32)
+
+    def make(form):
+        def loss(a):
+            out = S.pitch_shift(
+                a, n_semitones, 44100, 256, 64, pv_formulation=form
+            )
+            return jnp.sum(out**2)
+
+        return loss
+
+    gf = jax.jit(jax.grad(make("phasor_fused_interpret")))(jnp.asarray(audio))
+    gp = jax.jit(jax.grad(make("phasor")))(jnp.asarray(audio))
+    assert np.all(np.isfinite(np.asarray(gf)))
+    rel = float(jnp.abs(gf - gp).max() / jnp.abs(gp).max())
+    assert rel < 1e-4
+
+
+def test_rotation_cumprod_matches_associative_scan():
+    """The backward's P-reconstruction kernel (pallas_kernels.
+    rotation_cumprod) against the jnp associative rotation scan."""
+    from audiotools_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.RandomState(7)
+    theta = rng.uniform(-np.pi, np.pi, (3, 5, 33)).astype(np.float32)
+    ur, ui = np.cos(theta), np.sin(theta)
+    phi = rng.uniform(-np.pi, np.pi, (3, 5)).astype(np.float32)
+    cr, ci = np.cos(phi), np.sin(phi)
+
+    pr, pi = pk.rotation_cumprod(
+        jnp.asarray(ur), jnp.asarray(ui), jnp.asarray(cr), jnp.asarray(ci),
+        interpret=True,
+    )
+
+    sr = np.concatenate([cr[..., None], ur[..., :-1]], axis=-1)
+    si = np.concatenate([ci[..., None], ui[..., :-1]], axis=-1)
+    want = np.cumprod(sr + 1j * si, axis=-1)
+    got = np.asarray(pr) + 1j * np.asarray(pi)
+    assert np.abs(got - want).max() < 1e-5
+
+
 @pytest.mark.parametrize("formulation", ["angle", "phasor"])
 def test_phase_vocoder_is_differentiable(formulation):
     rng = np.random.RandomState(3)
