@@ -150,3 +150,165 @@ def test_experiment_outside_git(tmp_path):
     with chdir(tmp_path):
         exp = ml.Experiment(exp_name="nogit")
         assert exp.git_tracked_files == []
+
+
+# ---------------------------------------------------------------------------
+# post.py: notebook-side display branches (VERDICT r4 weak #7)
+# ---------------------------------------------------------------------------
+
+
+def test_markdown_table_separator_and_empty():
+    assert post._markdown_table_to_html("") == ""
+    html = post._markdown_table_to_html("| a | b |\n| --- | :-: |\n| 1 | 2 |")
+    assert "<th>a</th>" in html and "<td>1</td>" in html
+    assert ":-:" not in html  # separator row dropped
+
+
+def test_in_notebook_import_and_attribute_branches(monkeypatch):
+    import sys
+    import types
+
+    # get_ipython returns a shell whose .config raises AttributeError
+    class _Shell:
+        @property
+        def config(self):
+            raise AttributeError("no config")
+
+    fake = types.ModuleType("IPython")
+    fake.get_ipython = lambda: _Shell()
+    monkeypatch.setitem(sys.modules, "IPython", fake)
+    assert post.in_notebook() is False
+
+    # IPython import failure
+    monkeypatch.setitem(sys.modules, "IPython", None)
+    assert post.in_notebook() is False
+
+
+def test_disp_notebook_paths(monkeypatch):
+    """disp() under a (faked) notebook returns IPython HTML objects for
+    signals and dict audio tables."""
+    monkeypatch.setattr(post, "in_notebook", lambda: True)
+    sig = _sig()
+    out = post.disp(sig)
+    assert out is not None and "<audio" in out.data
+    out = post.disp({"row": {"in": sig}})
+    assert out is not None and "<table>" in out.data
+
+
+# ---------------------------------------------------------------------------
+# models/adversarial.py: paired ensemble scoring
+# ---------------------------------------------------------------------------
+
+
+def test_apply_paired_matches_separate_calls():
+    """_apply_paired (one concat ensemble pass, kept for inference-style
+    scoring) must be numerically identical per item to two separate
+    discriminator applies."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiotools_tpu.models import Discriminator
+    from audiotools_tpu.models.adversarial import _apply_paired
+
+    disc = Discriminator(
+        periods=(2, 3), fft_sizes=(256, 128), mpd_channels=(2, 4),
+        mrd_channels=2,
+    )
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.randn(2, 1, 512).astype(np.float32) * 0.1)
+    fake = jnp.asarray(rng.randn(2, 1, 512).astype(np.float32) * 0.1)
+    params = disc.init(jax.random.PRNGKey(0), real)
+
+    r_outs, f_outs = jax.jit(
+        lambda p, r, f: _apply_paired(disc, p, r, f)
+    )(params, real, fake)
+    want_r = jax.jit(disc.apply)(params, real)
+    want_f = jax.jit(disc.apply)(params, fake)
+    for got_ensemble, want_ensemble in ((r_outs, want_r), (f_outs, want_f)):
+        for got_feats, want_feats in zip(got_ensemble, want_ensemble):
+            for g, w in zip(got_feats, want_feats):
+                assert np.allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ml/layers/base.py: serialization edge branches
+# ---------------------------------------------------------------------------
+
+
+def test_capture_kwargs_skips_unreadable_fields():
+    import dataclasses
+
+    from audiotools_tpu.ml.layers.base import _capture_kwargs
+
+    @dataclasses.dataclass
+    class Cfg:
+        a: int
+        b: int  # no class-level default: deleting the instance attr
+        # leaves nothing for getattr to fall back to
+
+    cfg = Cfg(1, 2)
+    object.__delattr__(cfg, "b")
+    got = _capture_kwargs(cfg)
+    assert got == {"a": 1}
+
+
+def test_save_without_params_and_unpackageable_source(tmp_path, monkeypatch):
+    """save(params=None) stores a weight-less blob; when the module
+    source is unavailable (exec'd module), package=True degrades to
+    source=None instead of failing."""
+    import pickle
+
+    import flax.linen as nn
+
+    from audiotools_tpu.ml.layers.base import BaseModel
+
+    src = (
+        "import flax.linen as nn\n"
+        "from audiotools_tpu.ml.layers.base import BaseModel\n"
+        "class ExecModel(BaseModel):\n"
+        "    hidden: int = 3\n"
+        "    @nn.compact\n"
+        "    def __call__(self, x):\n"
+        "        return nn.Dense(self.hidden)(x)\n"
+    )
+    import types
+
+    mod = types.ModuleType("_cov_exec_model")
+    exec(compile(src, "<cov>", "exec"), mod.__dict__)
+    import sys
+
+    monkeypatch.setitem(sys.modules, "_cov_exec_model", mod)
+    mod.ExecModel.__module__ = "_cov_exec_model"
+    model = mod.ExecModel()
+    path = tmp_path / "m.pth"
+    model.save(str(path), params=None, package=True)
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    assert blob["params"] is None
+    assert blob["source"] is None  # inspect.getsource failed gracefully
+
+
+def test_device_of_numpy_and_empty_params():
+    import jax
+
+    from audiotools_tpu.ml.layers.base import BaseModel
+
+    default = jax.devices()[0]
+    assert BaseModel.device({}) == default
+    assert BaseModel.device({"w": np.ones(2, np.float32)}) == default
+
+
+def test_resolve_class_exec_fallback_and_missing_source():
+    from audiotools_tpu.ml.layers.base import _resolve_class
+
+    src = "class Ghost:\n    tag = 7\n"
+    blob = {
+        "class_module": "_definitely_not_importable_xyz",
+        "class_name": "Ghost",
+        "source": src,
+    }
+    cls = _resolve_class(blob)
+    assert cls is not None and cls.tag == 7
+
+    blob["source"] = None
+    assert _resolve_class(blob) is None
