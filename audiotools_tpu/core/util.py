@@ -234,6 +234,29 @@ def chdir(newdir):
 # -----------------------------------------------------------------------------
 
 
+def dequantize_batch(batch):
+    """Invert the loader's int16 wire staging for EVERY AudioSignal in a
+    (possibly nested) batch — ``transform_args`` carry AudioSignals too
+    (BackgroundNoise's noise, RoomImpulseResponse's IR), and a consumer
+    that only dequantized the top-level signal would silently feed int16
+    audio into the transform math. The dtype tests are static under
+    trace, so calling this first inside a jitted step folds every
+    dequantization into the program. Returns a new structure; signals
+    are cloned (`dequantize_wire` mutates in place)."""
+    from .signal import AudioSignal
+
+    def walk(v):
+        if isinstance(v, AudioSignal):
+            return v.clone().dequantize_wire()
+        if isinstance(v, dict):
+            return {k: walk(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return type(v)(walk(x) for x in v)
+        return v
+
+    return walk(batch)
+
+
 def prepare_batch(batch, device=None):
     """Move a (possibly nested) batch onto a jax device or sharding
     (reference util.py:346-380; the host->device boundary)."""

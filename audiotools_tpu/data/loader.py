@@ -148,6 +148,15 @@ class DataLoader:
         stop = threading.Event()
         _SENTINEL = object()
 
+        # With device staging, the host->HBM transfer runs on its own
+        # pipeline stage: if the producer called _stage inline, decode
+        # would stall for the whole transfer (measured: ZERO overlap on
+        # the tunneled link) — a dedicated stager thread lets batch
+        # N+1's decode run while batch N crosses the wire.
+        mid_q = (
+            queue.Queue(maxsize=1) if self.to_device else out_q
+        )
+
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -155,14 +164,28 @@ class DataLoader:
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__, idx_batch))
-                        out_q.put(self._stage(self.collate_fn(items)))
+                        batch = self.collate_fn(items)
+                        mid_q.put(
+                            batch if self.to_device else self._stage(batch)
+                        )
             except BaseException as e:  # surface worker errors to consumer
-                out_q.put(e)
+                mid_q.put(e)
                 return
-            out_q.put(_SENTINEL)
+            mid_q.put(_SENTINEL)
 
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
+        def stage():
+            while True:
+                item = mid_q.get()
+                if item is _SENTINEL or isinstance(item, BaseException):
+                    out_q.put(item)
+                    return
+                if stop.is_set():
+                    return
+                out_q.put(self._stage(item))
+
+        threading.Thread(target=produce, daemon=True).start()
+        if self.to_device:
+            threading.Thread(target=stage, daemon=True).start()
         try:
             while True:
                 item = out_q.get()
@@ -173,6 +196,10 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
-            # drain so the producer can exit
-            while not out_q.empty():
-                out_q.get_nowait()
+            # drain so the producer/stager can exit
+            for q in ({mid_q, out_q}):
+                while not q.empty():
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break

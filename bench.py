@@ -40,6 +40,9 @@ MEASURED_BASELINES = {
     # tests/hw/hw_iir_blocked.py)
     "dac_train_step_b16_clips_per_sec": 238.4,  # clips/s, established r03
     "adversarial_train_step_b16_clips_per_sec": 108.8,  # clips/s, r03
+    # BASELINE configs 1 and 3, first measured r05 (spread 0.18 / 0.008)
+    "quickstart_lowpass_stft_istft_mono_5s_rtf": 3279.0,  # x realtime
+    "resample_eq_reverb_b64_5s_clips_per_sec": 9440.0,  # clips/s
 }
 
 
@@ -62,6 +65,7 @@ def main():
     sys.path.insert(0, str(Path(__file__).parent / "tests"))
     from fixtures import build_fixture_tree
 
+    from audiotools_tpu.core import util
     from audiotools_tpu.data import transforms as tfm
     from audiotools_tpu.data.datasets import AudioDataset, AudioLoader
     from audiotools_tpu.data.loader import DataLoader
@@ -253,7 +257,7 @@ def main():
         L.set_fast_meter(False)
 
     # ---- BASELINE "measure & report" metrics + hardware fast-path gate ----
-    from audiotools_tpu.ops.benchmark import device_time
+    from audiotools_tpu.ops.benchmark import device_time, device_time_stats
     from audiotools_tpu.ops.pallas_kernels import fir_conv_causal
 
     T = int(DURATION * SAMPLE_RATE)
@@ -287,20 +291,24 @@ def main():
         flush=True,
     )
 
-    # STFT+mel throughput (input bytes / device time, batch-64 x 5 s f32)
-    t_mel = device_time(
+    # STFT+mel throughput (input bytes / device time, batch-64 x 5 s f32).
+    # Sub-5 ms programs carry a spread field: median-of-5 two-point pairs,
+    # spread = (max - min) / median (VERDICT r4 weak #4: without it a
+    # committed regression ratio can't be told from tunnel jitter).
+    st_mel = device_time_stats(
         lambda a: F.mel_spectrogram(a, SAMPLE_RATE, 80, method="matmul"),
         audio,
         iters=10,
     )
-    gbps = audio.size * 4 / t_mel / 1e9
+    gbps = audio.size * 4 / st_mel["seconds"] / 1e9
     print(
         json.dumps(
             {
                 "metric": "stft_mel_throughput_b64_5s_matmul",
                 "value": round(gbps, 2),
                 "unit": "GB/s input",
-                "vs_baseline": _vs("stft_mel_throughput_b64_5s_matmul", gbps)
+                "vs_baseline": _vs("stft_mel_throughput_b64_5s_matmul", gbps),
+                "spread": st_mel["spread"],
             }
         ),
         flush=True,
@@ -309,26 +317,31 @@ def main():
     # LUFS meter real-time factor (audio seconds metered per second):
     # the exact blocked-IIR default, plus the 512-tap Pallas FIR parity
     # mode tracked against its BENCH_r02 first measurement.
-    t_lufs = device_time(
-        lambda a: L.loudness(a, SAMPLE_RATE), audio, iters=10
+    # iters=40: the 1.4 ms program must dwarf the ~13 ms tunnel RTT per
+    # leg or the spread is all jitter (measured 0.53 at iters=10)
+    st_lufs = device_time_stats(
+        lambda a: L.loudness(a, SAMPLE_RATE), audio, iters=40
     )
-    lufs_rtf = BATCH * DURATION / t_lufs
+    lufs_rtf = BATCH * DURATION / st_lufs["seconds"]
     print(
         json.dumps(
             {
                 "metric": "lufs_meter_rtf_b64_5s_exact_meter",
                 "value": round(lufs_rtf, 0),
                 "unit": "x realtime (blocked-IIR exact BS.1770 cascade)",
-                "vs_baseline": _vs("lufs_meter_rtf_b64_5s_exact_meter", lufs_rtf)
+                "vs_baseline": _vs(
+                    "lufs_meter_rtf_b64_5s_exact_meter", lufs_rtf
+                ),
+                "spread": st_lufs["spread"],
             }
         ),
         flush=True,
     )
-    t_lufs_fir = device_time(
+    st_lufs_fir = device_time_stats(
         lambda a: L.loudness(a, SAMPLE_RATE, use_fir=True, conv_method="pallas"),
-        audio, iters=10,
+        audio, iters=20,
     )
-    lufs_rtf_fir = BATCH * DURATION / t_lufs_fir
+    lufs_rtf_fir = BATCH * DURATION / st_lufs_fir["seconds"]
     print(
         json.dumps(
             {
@@ -337,7 +350,82 @@ def main():
                 "unit": "x realtime (512-tap Pallas FIR parity mode)",
                 "vs_baseline": _vs(
                     "lufs_meter_rtf_b64_5s_fast_meter", lufs_rtf_fir
-                )
+                ),
+                "spread": st_lufs_fir["spread"],
+            }
+        ),
+        flush=True,
+    )
+
+    # ---- BASELINE config 1: README-quickstart round trip (mono 5 s:
+    # low_pass(8000) -> STFT -> ISTFT), jitted as one program ----
+    from audiotools_tpu.ops import filters as FL
+
+    mono = audio[:1]  # (1, 1, T)
+
+    def quickstart(a):
+        y = FL.low_pass(a, 8000.0, SAMPLE_RATE)
+        spec = F.stft(y[:, 0, :], 2048, 512, "hann", method="matmul")
+        return F.istft(
+            spec, 2048, 512, "hann", length=a.shape[-1], method="matmul"
+        )
+
+    st_q = device_time_stats(quickstart, mono, iters=40)
+    q_rtf = DURATION / st_q["seconds"]
+    print(
+        json.dumps(
+            {
+                "metric": "quickstart_lowpass_stft_istft_mono_5s_rtf",
+                "value": round(q_rtf, 0),
+                "unit": "x realtime (BASELINE config 1; host WAV decode "
+                "cost is the pipeline line's `decode` fraction)",
+                "vs_baseline": _vs(
+                    "quickstart_lowpass_stft_istft_mono_5s_rtf", q_rtf
+                ),
+                "spread": st_q["spread"],
+            }
+        ),
+        flush=True,
+    )
+
+    # ---- BASELINE config 3: resample 44.1k->16k + biquad EQ cascade +
+    # FFT-conv reverb, batch-64 x 5 s, one jitted program ----
+    from audiotools_tpu.ops import resample as R
+
+    # a 0.5 s synthetic RIR and a 3-stage peaking-EQ cascade (musical
+    # low-shelf / presence / high-shelf), reverb applied at 16 kHz
+    rir = (
+        np.random.RandomState(7).randn(8000).astype(np.float32)
+        * np.exp(-np.linspace(0.0, 8.0, 8000, dtype=np.float32))
+    )
+    rir[0] = 1.0
+    rir_dev = jnp.asarray(rir[None, :])
+    from scipy.signal import iirpeak
+
+    eq_coeffs = []
+    for f0, q in ((200.0, 0.7), (1000.0, 1.0), (4000.0, 0.9)):
+        b, a = iirpeak(f0, q, fs=16000)
+        eq_coeffs.append((b, a, 1.0))
+
+    def config3(x):
+        y = R.resample(x, SAMPLE_RATE, 16000)
+        y = FL.iir_cascade_blocked(y[:, 0, :], eq_coeffs)
+        return FL.fft_conv1d(y, rir_dev)
+
+    st_c3 = device_time_stats(config3, audio, iters=10)
+    c3_cps = BATCH / st_c3["seconds"]
+    print(
+        json.dumps(
+            {
+                "metric": "resample_eq_reverb_b64_5s_clips_per_sec",
+                "value": round(c3_cps, 2),
+                "unit": "clips/s (BASELINE config 3: polyphase 44.1k->16k "
+                "+ 3-stage blocked-IIR biquad EQ + FFT-conv reverb, "
+                f"{c3_cps * DURATION:.0f}x realtime)",
+                "vs_baseline": _vs(
+                    "resample_eq_reverb_b64_5s_clips_per_sec", c3_cps
+                ),
+                "spread": st_c3["spread"],
             }
         ),
         flush=True,
@@ -346,7 +434,10 @@ def main():
     # ---- end-to-end input pipeline (reference measures dataloader
     # items/s incl. salient-excerpt cost, tests/profilers/profile_load.py;
     # this measures the full path: host decode+instantiate -> collate ->
-    # device_put over the tunnel -> jitted chain) ----
+    # int16 wire staging + device_put inside the producer pipeline ->
+    # jitted chain with in-program dequantization) ----
+    from audiotools_tpu import _hostprof as hostprof
+
     N_PIPE = 4 * BATCH
     ds_pipe = AudioDataset(
         AudioLoader(sources=[str(root / "spk.csv")]),
@@ -355,26 +446,67 @@ def main():
         duration=DURATION,
         transform=transform,
     )
-    dl_pipe = DataLoader(
+
+    # (a) host-only pass with the cost profiler armed: where the host
+    # milliseconds actually go (exclusive self-times; VERDICT r4 weak #1)
+    dl_host = DataLoader(
         ds_pipe, batch_size=BATCH, num_workers=8, drop_last=True
     )
+    hostprof.reset()
+    hostprof.enable()
     t0 = time.perf_counter()
-    for _b in dl_pipe:
+    for _b in dl_host:
         pass
     t_host_only = time.perf_counter() - t0
+    hostprof.disable()
+    spans = hostprof.totals()
+    hostprof.reset()
+    # spans accumulate across 8 concurrent worker threads, so their sum
+    # exceeds wall clock; report each phase as its SHARE of total span
+    # time plus the concurrency factor (span-sum / wall) so the wall
+    # cost of any phase is share * concurrency * wall.
+    span_sum = sum(spans.values()) or 1.0
+    breakdown = {
+        k: round(v / span_sum, 3) for k, v in sorted(spans.items())
+    }
+    breakdown["thread_concurrency"] = round(span_sum / t_host_only, 2)
+
+    # (b) overlapped end-to-end pass: the loader stages each batch onto
+    # the device as int16 (half the tunnel bytes) from its producer
+    # thread, so batch N+1's host decode and batch N's transfer overlap
+    # the consumer's device step; the consumer dequantizes in-jit.
+    def _checksum_wire(s, k):
+        # transform_args carry AudioSignals too (noise, IR): dequantize
+        # the WHOLE batch tree in-program (util.dequantize_batch)
+        deq = util.dequantize_batch({"signal": s, "kw": k})
+        return _checksum(deq["signal"], deq["kw"])
+
+    jitted_wire = jax.jit(_checksum_wire)
+    dl_dev = DataLoader(
+        ds_pipe, batch_size=BATCH, num_workers=8, drop_last=True,
+        to_device=True, wire_dtype="int16", prefetch_batches=2,
+    )
+    # compile the wire consumer once outside the timed loop, reusing the
+    # host pass's final batch (staging it exactly as the loader would)
+    warm = dl_dev._stage(
+        {"signal": _b["signal"], "transform_args": _b["transform_args"]}
+    )
+    float(jitted_wire(warm["signal"], warm["transform_args"]))
 
     t0 = time.perf_counter()
     out = None
-    for _b in dl_pipe:
-        s_b, k_b = jax.device_put((_b["signal"], _b["transform_args"]))
-        out = jitted(s_b, k_b)
+    for _b in dl_dev:
+        out = jitted_wire(_b["signal"], _b["transform_args"])
     float(out)
     t_pipe = time.perf_counter() - t0
     pipe_ips = N_PIPE / t_pipe
-    n_batches = N_PIPE // BATCH
-    device_leg = n_batches * dispatch_inclusive
-    hidden = (t_host_only + device_leg - t_pipe) / device_leg
-    hidden = max(0.0, min(1.0, hidden))
+    # Unhidden overhead: the end-to-end time not accounted for by host
+    # work. With a perfect pipeline (decode of batch N+1 overlapping the
+    # wire+device of batch N) and the host as bottleneck this tends to
+    # the last batch's wire+device tail; serial execution reads the full
+    # wire+device cost. The staging thread (data/loader.py) exists to
+    # push this toward zero.
+    unhidden = max(0.0, (t_pipe - t_host_only) / t_pipe)
     print(
         json.dumps(
             {
@@ -382,9 +514,10 @@ def main():
                 "value": round(pipe_ips, 1),
                 "unit": f"items/s end-to-end (host alone "
                 f"{N_PIPE / t_host_only:.0f} items/s on this 1-core box; "
-                f"prefetch hides {hidden * 100:.0f}% of device+transfer "
-                f"time)",
+                f"int16 wire halves transfer bytes; unhidden wire+device "
+                f"overhead {unhidden * 100:.0f}% of end-to-end)",
                 "vs_baseline": 1.0,
+                "host_breakdown": breakdown,
             }
         ),
         flush=True,
@@ -423,7 +556,12 @@ def main():
         p2, _, m = dac_step(g_params, g_state, a)
         return m["loss"], p2
 
-    t_dac = device_time(timed_dac_step, train_audio, iters=5)
+    # median-of-3 pairs: a single stalled tunnel leg once read this step
+    # at 0.52x its baseline while the adversarial step (a superset of
+    # the same generator fwd+bwd) read 0.97x — one pair cannot tell a
+    # stall from a regression
+    st_dac = device_time_stats(timed_dac_step, train_audio, iters=5, repeats=3)
+    t_dac = st_dac["seconds"]
     dac_cps = TB / t_dac
     # Absolute accounting (docs/perf.md): analytic conv/matmul-core FLOPs
     # over the v5e bf16 peak. The generator computes in f32, so ~33% of
@@ -440,6 +578,7 @@ def main():
                 f"{dac_cps * (TT / SAMPLE_RATE):.1f}x realtime, b16 x 0.38s)",
                 "vs_baseline": _vs("dac_train_step_b16_clips_per_sec", dac_cps),
                 "mfu": round(dac_mfu, 4),
+                "spread": st_dac["spread"],
             }
         ),
         flush=True,

@@ -275,6 +275,59 @@ def test_loader_to_device_wire_int16(tmp_path):
         DataLoader(ds, batch_size=4, wire_dtype="int8")
 
 
+def test_wire_quantizes_and_dequantizes_nested_signals(tmp_path):
+    """transform_args carry AudioSignals (BackgroundNoise's noise): the
+    wire must quantize them too, and util.dequantize_batch must restore
+    EVERY signal in the tree inside one jitted program — a consumer that
+    misses a nested signal would feed int16 into the transform math."""
+    from tests.fixtures import build_fixture_tree
+
+    from audiotools_tpu.data import transforms as tfm
+    from audiotools_tpu.data.datasets import AudioDataset, AudioLoader
+    from audiotools_tpu.data.loader import DataLoader
+
+    build_fixture_tree(tmp_path)
+    ds = AudioDataset(
+        AudioLoader(sources=[str(tmp_path / "spk.csv")]),
+        sample_rate=44100,
+        n_examples=4,
+        duration=0.5,
+        transform=tfm.Compose(
+            tfm.BackgroundNoise(sources=[str(tmp_path / "nz.csv")])
+        ),
+    )
+    b_host = next(iter(DataLoader(ds, batch_size=4, num_workers=0)))
+    dl = DataLoader(
+        ds, batch_size=4, num_workers=2, to_device=True, wire_dtype="int16"
+    )
+    b = next(iter(dl))
+    from audiotools_tpu import AudioSignal
+
+    flat = util.flatten(b["transform_args"])
+    nested = [v for v in flat.values() if isinstance(v, AudioSignal)]
+    assert nested, "expected a nested AudioSignal in transform_args"
+    nested = nested[0]
+    assert nested.audio_data.dtype == jnp.int16  # staged as wire int16
+
+    @jax.jit
+    def consume(batch):
+        deq = util.dequantize_batch(batch)
+        out = ds.transform(
+            deq["signal"].clone(), **deq["transform_args"]
+        )
+        return out.audio_data
+
+    got = np.asarray(consume({k: b[k] for k in ("signal", "transform_args")}))
+    want = np.asarray(
+        ds.transform(
+            b_host["signal"].clone(), **b_host["transform_args"]
+        ).audio_data
+    )
+    assert got.shape == want.shape
+    # wire quantization error through the transform stays in budget
+    assert np.abs(got - want).max() <= 5e-4
+
+
 # ------------------------------------------------------------- profiler
 
 
