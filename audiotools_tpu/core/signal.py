@@ -230,7 +230,8 @@ class AudioSignal(
             # the dominant loader cost, profilers/profile_load.py:62-74).
             excerpt = cls.excerpt(audio_path, state=state, **kwargs)
             loudness = host_loudness(
-                np.asarray(excerpt.audio_data), excerpt.sample_rate
+                np.asarray(excerpt.audio_data), excerpt.sample_rate,
+                dtype=np.float32,  # 1.7x; 0.004 mdB vs float64
             )
             # num_tries=None reproduces the reference's unbounded retry
             # loop (audio_signal.py:227-286): batches of 7 until a pass.
@@ -246,7 +247,9 @@ class AudioSignal(
                     [np.asarray(c.audio_data) for c in cands], axis=0
                 )
                 louds = np.atleast_1d(
-                    np.asarray(host_loudness(stack, cands[0].sample_rate))
+                    np.asarray(host_loudness(
+                        stack, cands[0].sample_rate, dtype=np.float32
+                    ))
                 )
                 passing = np.flatnonzero(louds > loudness_cutoff)
                 pick = int(passing[0]) if passing.size else n_rest - 1
