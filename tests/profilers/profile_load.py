@@ -53,6 +53,24 @@ def main():
     t_sal = time.perf_counter() - t0
     print(f"salient_excerpt: {1000*t_sal/8:.1f} ms/draw")
 
+    # per-phase breakdown (exclusive self-times) — the same accounting
+    # the bench line commits as `host_breakdown`
+    from audiotools_tpu import _hostprof as hostprof
+
+    hostprof.reset()
+    hostprof.enable()
+    for seed in range(8):
+        AudioSignal.salient_excerpt(
+            p, loudness_cutoff=-40, duration=2.0, state=seed
+        )
+    hostprof.disable()
+    tot = hostprof.totals()
+    hostprof.reset()
+    print(
+        "phase breakdown:",
+        {k: f"{1000 * v / 8:.2f} ms/draw" for k, v in sorted(tot.items())},
+    )
+
 
 if __name__ == "__main__":
     main()
