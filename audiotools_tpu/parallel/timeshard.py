@@ -144,10 +144,15 @@ def _resample_raw(
     mesh: Mesh,
     axis_name: str,
 ):
-    from ..ops.resample import resample_kernels
+    from ..ops.resample import polyphase_conv_diff, resample_kernels
 
-    kernels_np, width = resample_kernels(old, new, zeros, rolloff)
-    kernels = jnp.asarray(kernels_np)[:, None, :]
+    _kernels_np, width = resample_kernels(old, new, zeros, rolloff)
+    # custom-VJP core: XLA's automatic transpose of the strided
+    # polyphase conv is ~4000x slower on v5e (ops/resample.py)
+    core = polyphase_conv_diff(
+        old, new, zeros, rolloff,
+        width + T_shard + width + old, T_shard * new // old,
+    )
 
     def local(block):
         # block: (B, T_shard) local shard
@@ -168,19 +173,8 @@ def _resample_raw(
             jnp.broadcast_to(block[..., -1:], right.shape),
             right,
         )
-        xx = jnp.concatenate([left, block, right], axis=-1)[:, None, :]
-        y = jax.lax.conv_general_dilated(
-            xx,
-            kernels,
-            window_strides=(old,),
-            padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            # bf16x3, as in ops.resample (TPU conv default is bf16:
-            # ~6e-3 error through the polyphase bank; HIGH is ~3e-5)
-            precision=jax.lax.Precision.HIGH,
-        )
-        y = jnp.swapaxes(y, -1, -2).reshape((block.shape[0], -1))
-        return y[..., : T_shard * new // old]
+        xx = jnp.concatenate([left, block, right], axis=-1)
+        return core(xx)
 
     return shard_map(
         local,

@@ -253,3 +253,50 @@ def test_iir_cascade_blocked_matches_biquad_cascade():
         )
     )
     assert np.abs(y0 - y1).max() < 2e-4
+
+
+@pytest.mark.parametrize("old,new", [(55, 49), (49, 55), (2, 3), (1, 2)])
+def test_resample_custom_vjp_matches_autodiff(old, new):
+    """The device resample's custom adjoint (stride-1 residue-bank conv,
+    ops/resample.py::_resample_device_diff) against XLA's autodiff of the
+    same primal. Why it exists: XLA's automatic transpose of the strided
+    polyphase conv measured 13.1 s at bench shapes on v5e — the entire
+    cost of jax.grad(pitch_shift) (tests/hw/hw_pitch_grad_time.py)."""
+    from audiotools_tpu.ops import resample as R
+
+    T = 2003
+    rng = np.random.RandomState(0)
+    x = jnp.asarray((rng.randn(2, T) * 0.3).astype(np.float32))
+    f = R._resample_device_diff(old, new, 24, 0.945, T)
+
+    kernels, width = R.resample_kernels(old, new, 24, 0.945)
+
+    def primal(a):
+        xp = jnp.pad(
+            a[:, None, :], ((0, 0), (0, 0), (width, width + old)), mode="edge"
+        )
+        y = jax.lax.conv_general_dilated(
+            xp, jnp.asarray(kernels)[:, None, :], (old,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGH,
+        )
+        y = jnp.swapaxes(y, -1, -2).reshape((a.shape[0], -1))
+        return y[..., : int(T * new / old)]
+
+    def make_loss(fn):
+        def loss(a):
+            out = fn(a)
+            w = jnp.sin(jnp.arange(out.shape[-1]) * 0.13)
+            return jnp.sum(out * w) + 0.1 * jnp.sum(out**2)
+
+        return loss
+
+    fe = float(
+        jnp.abs(jax.jit(f)(x) - jax.jit(primal)(x)).max()
+        / jnp.abs(jax.jit(primal)(x)).max()
+    )
+    gc = jax.jit(jax.grad(make_loss(f)))(x)
+    ga = jax.jit(jax.grad(make_loss(primal)))(x)
+    ge = float(jnp.abs(gc - ga).max() / (jnp.abs(ga).max() + 1e-12))
+    assert fe < 3e-5, fe
+    assert ge < 1e-4, ge

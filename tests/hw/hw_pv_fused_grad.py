@@ -29,8 +29,19 @@ relayouts + a prep re-derivation that two engineering cuts brought from
 25.7 to 23.3 ms of backward-side work). Division of labor, measured:
 ``phasor_fused`` for forward/augmentation (2.77 vs 5.96 ms),
 ``angle`` (the API default) when optimizing through the vocoder.
-(The pitch-leg timing run died on a transient TPU-worker crash; the
-core A/B above is the decision-grade number.)
+
+Full pitch-leg fwd+bwd (queued two-point; the fori_loop harness
+crashes the worker on these programs, hw_pitch_grad_crash.py):
+    before: 13146.70 ms (angle) / 13156.00 ms (fused) — ~850x the
+    15.6 ms forward, formulation-independent. Decomposition
+    (hw_pitch_grad_time.py) pinned the ENTIRE cost on XLA's automatic
+    transpose of the strided polyphase resample conv (13.1 s alone).
+    after the resample custom VJP (ops/resample.py::polyphase_conv_diff,
+    exact adjoint as a stride-1 residue-bank conv — 3.35 ms, ~4000x):
+    pitch leg fwd+bwd angle        :   42.92 ms   (306x end-to-end)
+    pitch leg fwd+bwd phasor_fused :   60.26 ms
+Differentiable pitch shift is now trainable-through at ~2.7x the
+forward's cost (angle formulation; 15.6 ms fwd -> 42.9 fwd+bwd).
 """
 from pathlib import Path
 
@@ -89,24 +100,26 @@ for form in ("angle", "phasor", "phasor_fused"):
     t = device_time(fwd_bwd, re, iters=5)
     print(f"PV core fwd+bwd {form:13s}: {t*1e3:7.2f} ms", flush=True)
 
-# Full differentiable pitch-shift leg: DISABLED. jax.grad through the
-# whole leg (resample + STFT + PV + iSTFT) at b64 x 5 s reproducibly
-# crashes the tunneled TPU worker during/after compile — on the ANGLE
-# formulation, i.e. a pure-XLA program with no Pallas involved (observed
-# twice, 2026-08-20). The PV-core A/B above is the decision-grade
-# number; re-enable if the toolchain moves.
-RUN_PITCH_LEGS = False
-if RUN_PITCH_LEGS:
-    audio = jnp.asarray(rng.randn(B, 1, 220500).astype(np.float32) * 0.1)
-    for form in ("angle", "phasor_fused"):
+# Full differentiable pitch-shift leg. The fori_loop-wrapped timing of
+# this grad program crashes the tunneled TPU worker (the gradient
+# itself is fine — every sub-leg and the full leg pass as single
+# programs, tests/hw/hw_pitch_grad_crash.py), so it is timed with the
+# queued two-point method instead (no loop wrapper).
+from audiotools_tpu.ops.benchmark import device_time_queued
 
-        def leg_loss(a, _form=form):
-            out = S.pitch_shift(
-                a, 2.0, 44100, synthesis_method="matmul_bf16",
-                pv_formulation=_form,
-            )
-            return jnp.sum(out**2)
+audio = jnp.asarray(rng.randn(B, 1, 220500).astype(np.float32) * 0.1)
+for form in ("angle", "phasor_fused"):
 
-        t = device_time(jax.grad(leg_loss), audio, iters=5)
-        print(f"pitch leg fwd+bwd {form:13s}: {t*1e3:7.2f} ms", flush=True)
+    def leg_loss(a, _form=form):
+        out = S.pitch_shift(
+            a, 2.0, 44100, synthesis_method="matmul_bf16",
+            pv_formulation=_form,
+        )
+        return jnp.sum(out**2)
+
+    # default sync: the scalar reduction happens INSIDE the jitted step.
+    # A custom eager-slice sync measured 13 s/iter — eager ops on the
+    # tunneled device cost seconds and must never sit on the timed path.
+    t = device_time_queued(jax.grad(leg_loss), audio, iters=5)
+    print(f"pitch leg fwd+bwd {form:13s}: {t*1e3:7.2f} ms", flush=True)
 print("DONE", flush=True)
