@@ -69,3 +69,47 @@ def test_device_time_queued_matches_loop_method():
     # generous envelope: queued includes ~us-scale dispatch per call
     assert t_q < t_loop * 5 + 5e-3
     assert t_loop < t_q * 5 + 5e-3
+
+
+def test_device_time_stats_median_and_spread():
+    from audiotools_tpu.ops.benchmark import device_time_stats
+
+    st = device_time_stats(
+        lambda a: jnp.sum(a**2, keepdims=True) + a, jnp.ones((64,)),
+        iters=3, repeats=3,
+    )
+    assert st["min"] <= st["seconds"] <= st["max"]
+    assert st["spread"] >= 0.0
+    assert st["seconds"] >= 1e-9
+
+
+def test_device_time_queued_default_and_custom_sync():
+    from audiotools_tpu.ops.benchmark import device_time_queued
+
+    # default sync: every leaf summed in-program
+    t = device_time_queued(
+        lambda a: (a * 2.0, {"x": a + 1.0}), jnp.ones((32,)), iters=2
+    )
+    assert t >= 1e-9
+    # custom sync: extractor maps the output to the fenced scalar
+    t2 = device_time_queued(
+        lambda a: {"loss": jnp.sum(a), "aux": a},
+        jnp.ones((32,)),
+        iters=2,
+        sync=lambda out: out["loss"],
+    )
+    assert t2 >= 1e-9
+
+
+def test_perf_stage_roofline_row():
+    from audiotools_tpu.ops import perf
+
+    row = perf.stage_roofline(
+        "toy", lambda a: jnp.sum(a * a) + a, jnp.ones((256,)), iters=2
+    )
+    assert row["stage"] == "toy"
+    assert row["ms"] > 0
+    # CPU backend exposes cost analysis: bytes/flops fields populate
+    assert set(row) == {
+        "stage", "ms", "gbytes", "hbm_frac", "gflops", "mfu_xla"
+    }
